@@ -23,4 +23,7 @@ Layering (bottom up), mirroring SURVEY.md section 1 but functional:
 __version__ = "0.1.0"
 
 from dm_control_tpu._src import math  # noqa: F401
+from dm_control_tpu._src.engine import (  # noqa: F401
+    build_forward, build_step, load_model, load_model_from_string, make_data,
+    reset_data)
 from dm_control_tpu._src.types import Data, Model, Option  # noqa: F401

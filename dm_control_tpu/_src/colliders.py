@@ -1,0 +1,336 @@
+"""Vectorized narrowphase colliders.
+
+Each (GeomType, GeomType) group is collided as one batched, branch-free
+computation over its static candidate-pair list; results land in the padded
+Contact buffer in the fixed order produced by collision._pair_entries.
+Contact parameter combination (friction/solref/solimp/condim mixing)
+follows the reference's documented rules and is validated against the
+oracle in tests/test_collision.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dm_control_tpu._src import math
+from dm_control_tpu._src.types import Contact, Data, GeomType, Model
+
+
+# ---------------------------------------------------------------------------
+# Contact parameter combination (host-side, static per pair).
+# ---------------------------------------------------------------------------
+
+
+def _combine_params(m: Model, g1: int, g2: int, pairinfo):
+  """(condim, friction(5), solref(2), solimp(5), margin, gap) for a pair."""
+  if pairinfo is not None:
+    return (pairinfo['condim'], pairinfo['friction'], pairinfo['solref'],
+            pairinfo['solimp'], pairinfo['margin'], pairinfo['gap'])
+  p1, p2 = int(m.geom_priority[g1]), int(m.geom_priority[g2])
+  if p1 != p2:
+    g = g1 if p1 > p2 else g2
+    condim = int(m.geom_condim[g])
+    fr3 = m.geom_friction[g]
+    solref = m.geom_solref[g]
+    solimp = m.geom_solimp[g]
+  else:
+    condim = max(int(m.geom_condim[g1]), int(m.geom_condim[g2]))
+    fr3 = np.maximum(m.geom_friction[g1], m.geom_friction[g2])
+    # solmix weighting
+    s1, s2 = float(m.geom_solmix[g1]), float(m.geom_solmix[g2])
+    mix = s1 / (s1 + s2) if (s1 + s2) > 1e-12 else 0.5
+    if m.geom_solref[g1, 0] > 0 and m.geom_solref[g2, 0] > 0:
+      solref = mix * m.geom_solref[g1] + (1 - mix) * m.geom_solref[g2]
+    else:
+      solref = np.minimum(m.geom_solref[g1], m.geom_solref[g2])
+    solimp = mix * m.geom_solimp[g1] + (1 - mix) * m.geom_solimp[g2]
+  friction = np.array([fr3[0], fr3[0], fr3[1], fr3[2], fr3[2]])
+  margin = max(float(m.geom_margin[g1]), float(m.geom_margin[g2]))
+  gap = max(float(m.geom_gap[g1]), float(m.geom_gap[g2]))
+  return condim, friction, solref, solimp, margin, gap
+
+
+# ---------------------------------------------------------------------------
+# Frame construction.
+# ---------------------------------------------------------------------------
+
+
+def make_frame(normal: jax.Array) -> jax.Array:
+  """(..., 3, 3) frame with rows (normal, tangent1, tangent2)."""
+  n = math.normalize(normal)
+  # pick a helper axis not parallel to n
+  ref = jnp.where(
+      (jnp.abs(n[..., 0:1]) < 0.5),
+      jnp.broadcast_to(jnp.array([1.0, 0, 0], n.dtype), n.shape),
+      jnp.broadcast_to(jnp.array([0.0, 1, 0], n.dtype), n.shape))
+  t1 = math.normalize(jnp.cross(n, ref))
+  t2 = jnp.cross(n, t1)
+  return jnp.stack([n, t1, t2], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Per-type-pair colliders.  Each takes stacked geom world poses/sizes for
+# its group and returns (dist, pos, normal) with a fixed contacts-per-pair.
+# ---------------------------------------------------------------------------
+
+
+def _plane_sphere(p_pos, p_mat, p_size, s_pos, s_mat, s_size):
+  n = p_mat[..., :, 2]
+  vec = s_pos - p_pos
+  h = jnp.sum(n * vec, -1)
+  r = s_size[..., 0]
+  dist = h - r
+  pos = s_pos - n * (r + dist / 2)[..., None]
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _plane_capsule(p_pos, p_mat, p_size, c_pos, c_mat, c_size):
+  n = p_mat[..., :, 2]
+  axis = c_mat[..., :, 2]
+  r = c_size[..., 0]
+  hl = c_size[..., 1]
+  dists, poss, ns = [], [], []
+  for sign in (1.0, -1.0):
+    end = c_pos + sign * hl[..., None] * axis
+    h = jnp.sum(n * (end - p_pos), -1)
+    dist = h - r
+    pos = end - n * (r + dist / 2)[..., None]
+    dists.append(dist)
+    poss.append(pos)
+    ns.append(n)
+  return (jnp.stack(dists, -1), jnp.stack(poss, -2), jnp.stack(ns, -2))
+
+
+def _plane_ellipsoid(p_pos, p_mat, p_size, e_pos, e_mat, e_size):
+  n = p_mat[..., :, 2]
+  # support point of ellipsoid in -n direction
+  nl = jnp.einsum('...ij,...i->...j', e_mat, n)  # n in ellipsoid frame
+  denom = math.norm_safe(nl * e_size)
+  sp_l = -(e_size * e_size * nl) / jnp.maximum(denom, 1e-12)[..., None]
+  sp = e_pos + jnp.einsum('...ij,...j->...i', e_mat, sp_l)
+  h = jnp.sum(n * (sp - p_pos), -1)
+  dist = h
+  pos = sp - n * (dist / 2)[..., None]
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _plane_cylinder(p_pos, p_mat, p_size, c_pos, c_mat, c_size):
+  """Up to 4 contacts: two rim points at each end cap (approximate rim)."""
+  n = p_mat[..., :, 2]
+  axis = c_mat[..., :, 2]
+  r = c_size[..., 0]
+  hl = c_size[..., 1]
+  # radial direction: project -n onto plane perpendicular to axis
+  proj = -n + axis * jnp.sum(n * axis, -1, keepdims=True)
+  pnorm = math.norm_safe(proj)
+  # if axis ~ parallel to n, radial dir arbitrary
+  safe = (pnorm > 1e-8)[..., None]
+  radial = jnp.where(safe, proj / jnp.maximum(pnorm, 1e-12)[..., None],
+                     c_mat[..., :, 0])
+  dists, poss, ns = [], [], []
+  for sign_end in (1.0, -1.0):
+    end = c_pos + sign_end * hl[..., None] * axis
+    for sign_rad in (1.0, -1.0):
+      p = end + sign_rad * r[..., None] * radial
+      h = jnp.sum(n * (p - p_pos), -1)
+      dists.append(h)
+      poss.append(p - n * (h / 2)[..., None])
+      ns.append(n)
+  return (jnp.stack(dists, -1), jnp.stack(poss, -2), jnp.stack(ns, -2))
+
+
+def _plane_box(p_pos, p_mat, p_size, b_pos, b_mat, b_size):
+  """4 deepest corners."""
+  n = p_mat[..., :, 2]
+  corners = []
+  heights = []
+  for sx in (-1.0, 1.0):
+    for sy in (-1.0, 1.0):
+      for sz in (-1.0, 1.0):
+        local = jnp.stack([sx * b_size[..., 0], sy * b_size[..., 1],
+                           sz * b_size[..., 2]], -1)
+        c = b_pos + jnp.einsum('...ij,...j->...i', b_mat, local)
+        corners.append(c)
+        heights.append(jnp.sum(n * (c - p_pos), -1))
+  corners = jnp.stack(corners, -2)  # (..., 8, 3)
+  heights = jnp.stack(heights, -1)  # (..., 8)
+  # pick 4 smallest heights
+  idx = jnp.argsort(heights, axis=-1)[..., :4]
+  dist = jnp.take_along_axis(heights, idx, axis=-1)
+  pos = jnp.take_along_axis(corners, idx[..., None], axis=-2)
+  pos = pos - n[..., None, :] * (dist / 2)[..., None]
+  ns = jnp.broadcast_to(n[..., None, :], pos.shape)
+  return dist, pos, ns
+
+
+def _sphere_sphere(pos1, mat1, size1, pos2, mat2, size2):
+  r1, r2 = size1[..., 0], size2[..., 0]
+  vec = pos2 - pos1
+  n = math.normalize(vec)
+  dist = math.norm_safe(vec) - r1 - r2
+  pos = pos1 + n * (r1 + dist / 2)[..., None]
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _sphere_capsule(s_pos, s_mat, s_size, c_pos, c_mat, c_size):
+  axis = c_mat[..., :, 2]
+  hl = c_size[..., 1:2]
+  a = c_pos - hl * axis
+  b = c_pos + hl * axis
+  closest = math.closest_segment_point(a, b, s_pos)
+  d, p, n = _sphere_sphere(
+      s_pos, s_mat, s_size, closest, c_mat,
+      jnp.broadcast_to(c_size, s_size.shape))
+  return d, p, n
+
+
+def _capsule_capsule(pos1, mat1, size1, pos2, mat2, size2):
+  ax1 = mat1[..., :, 2]
+  ax2 = mat2[..., :, 2]
+  h1, h2 = size1[..., 1:2], size2[..., 1:2]
+  p1, q1 = pos1 - h1 * ax1, pos1 + h1 * ax1
+  p2, q2 = pos2 - h2 * ax2, pos2 + h2 * ax2
+  c1, c2 = math.closest_segment_to_segment_points(p1, q1, p2, q2)
+  r1, r2 = size1[..., 0], size2[..., 0]
+  vec = c2 - c1
+  n = math.normalize(vec)
+  dist = math.norm_safe(vec) - r1 - r2
+  pos = c1 + n * (r1 + dist / 2)[..., None]
+  # second slot: inactive padding
+  big = jnp.full_like(dist, 1e10)
+  dists = jnp.stack([dist, big], -1)
+  poss = jnp.stack([pos, pos], -2)
+  ns = jnp.stack([n, n], -2)
+  return dists, poss, ns
+
+
+def _sphere_box(s_pos, s_mat, s_size, b_pos, b_mat, b_size):
+  r = s_size[..., 0]
+  local = jnp.einsum('...ij,...i->...j', b_mat, s_pos - b_pos)
+  clamped = jnp.clip(local, -b_size, b_size)
+  inside = jnp.all(jnp.abs(local) < b_size, -1)
+  # outside: closest point on surface
+  vec_out = local - clamped
+  d_out = math.norm_safe(vec_out)
+  n_out_l = vec_out / jnp.maximum(d_out, 1e-12)[..., None]
+  # inside: push out along smallest penetration axis
+  depth = b_size - jnp.abs(local)
+  axis = jnp.argmin(depth, -1)
+  sgn = jnp.sign(jnp.take_along_axis(local, axis[..., None], -1))[..., 0]
+  n_in_l = (jax.nn.one_hot(axis, 3, dtype=local.dtype)
+            * sgn[..., None])
+  d_in = -jnp.take_along_axis(depth, axis[..., None], -1)[..., 0]
+  surf_in = jnp.where(
+      jax.nn.one_hot(axis, 3, dtype=local.dtype) > 0,
+      sgn[..., None] * b_size, local)
+  dist = jnp.where(inside, d_in, d_out) - r
+  n_l = jnp.where(inside[..., None], n_in_l, n_out_l)
+  surf_l = jnp.where(inside[..., None], surf_in, clamped)
+  n = jnp.einsum('...ij,...j->...i', b_mat, -n_l)  # from sphere to box
+  surf = b_pos + jnp.einsum('...ij,...j->...i', b_mat, surf_l)
+  # midpoint between the box surface point and the sphere surface point
+  pos = (surf + s_pos + n * r[..., None]) / 2
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _capsule_box(c_pos, c_mat, c_size, b_pos, b_mat, b_size):
+  """Two sphere-box tests at segment ends + closest interior point."""
+  axis = c_mat[..., :, 2]
+  hl = c_size[..., 1:2]
+  outs = []
+  for t in (-1.0, 1.0):
+    p = c_pos + t * hl * axis
+    d, pos, n = _sphere_box(p, c_mat, c_size, b_pos, b_mat, b_size)
+    outs.append((d, pos, n))
+  dists = jnp.concatenate([o[0] for o in outs], -1)
+  poss = jnp.concatenate([o[1] for o in outs], -2)
+  ns = jnp.concatenate([o[2] for o in outs], -2)
+  return dists, poss, ns
+
+
+_COLLIDERS = {
+    (GeomType.PLANE, GeomType.SPHERE): _plane_sphere,
+    (GeomType.PLANE, GeomType.CAPSULE): _plane_capsule,
+    (GeomType.PLANE, GeomType.CYLINDER): _plane_cylinder,
+    (GeomType.PLANE, GeomType.ELLIPSOID): _plane_ellipsoid,
+    (GeomType.PLANE, GeomType.BOX): _plane_box,
+    (GeomType.SPHERE, GeomType.SPHERE): _sphere_sphere,
+    (GeomType.SPHERE, GeomType.CAPSULE): _sphere_capsule,
+    (GeomType.SPHERE, GeomType.BOX): _sphere_box,
+    (GeomType.CAPSULE, GeomType.CAPSULE): _capsule_capsule,
+    (GeomType.CAPSULE, GeomType.BOX): _capsule_box,
+}
+
+
+def collide_all(m: Model, d: Data) -> Data:
+  from dm_control_tpu._src import collision as coll
+  dtype = d.qpos.dtype
+  entries = coll._pair_entries(m)
+  if not entries:
+    return d
+
+  all_dist, all_pos, all_frame = [], [], []
+  all_margin, all_friction = [], []
+  all_solref, all_solimp = [], []
+  all_g1, all_g2, all_dim = [], [], []
+
+  # group contiguous entries by type pair (entries are already grouped)
+  i = 0
+  while i < len(entries):
+    g1, g2, p, npoints = entries[i]
+    t1, t2 = GeomType(int(m.geom_type[g1])), GeomType(int(m.geom_type[g2]))
+    j = i
+    while j < len(entries) and (
+        GeomType(int(m.geom_type[entries[j][0]])),
+        GeomType(int(m.geom_type[entries[j][1]]))) == (t1, t2):
+      j += 1
+    group = entries[i:j]
+    i = j
+
+    if (t1, t2) not in _COLLIDERS:
+      raise NotImplementedError(f'collider for ({t1}, {t2})')
+    fn = _COLLIDERS[(t1, t2)]
+
+    idx1 = np.array([e[0] for e in group])
+    idx2 = np.array([e[1] for e in group])
+    pos1, mat1 = d.geom_xpos[idx1], d.geom_xmat[idx1]
+    pos2, mat2 = d.geom_xpos[idx2], d.geom_xmat[idx2]
+    size1 = jnp.asarray(m.geom_size[idx1], dtype)
+    size2 = jnp.asarray(m.geom_size[idx2], dtype)
+
+    dist, pos, normal = fn(pos1, mat1, size1, pos2, mat2, size2)
+    npair = dist.shape[-1]
+    frame = make_frame(normal)
+
+    for k, (gg1, gg2, pp, nn) in enumerate(group):
+      condim, friction, solref, solimp, margin, gap = _combine_params(
+          m, gg1, gg2, pp)
+      for c in range(nn):
+        all_dist.append(dist[k, c])
+        all_pos.append(pos[k, c])
+        all_frame.append(frame[k, c])
+        all_margin.append(margin - gap)
+        all_friction.append(friction)
+        all_solref.append(solref)
+        all_solimp.append(solimp)
+        all_g1.append(gg1)
+        all_g2.append(gg2)
+        all_dim.append(condim)
+
+  contact = Contact(
+      dist=jnp.stack(all_dist),
+      pos=jnp.stack(all_pos),
+      frame=jnp.stack(all_frame),
+      includemargin=jnp.asarray(np.array(all_margin), dtype),
+      friction=jnp.asarray(np.stack(all_friction), dtype),
+      solref=jnp.asarray(np.stack(all_solref), dtype),
+      solimp=jnp.asarray(np.stack(all_solimp), dtype),
+      geom1=jnp.asarray(np.array(all_g1), jnp.int32),
+      geom2=jnp.asarray(np.array(all_g2), jnp.int32),
+      dim=jnp.asarray(np.array(all_dim), jnp.int32),
+  )
+  return d.replace(contact=contact)

@@ -213,10 +213,11 @@ def transform_motion(
     ang' = ang;  lin' = lin - offset x ang.
   """
   ang, lin = vec[..., :3], vec[..., 3:]
+  # translate in the common frame first, then rotate into the new frame
+  lin = lin - jnp.cross(offset, ang)
   if rot is not None:
     ang = jnp.einsum('...ij,...j->...i', rot, ang)
     lin = jnp.einsum('...ij,...j->...i', rot, lin)
-  lin = lin - jnp.cross(offset, ang)
   return jnp.concatenate([ang, lin], axis=-1)
 
 
@@ -229,10 +230,10 @@ def transform_force(
     lin' = lin;  trq' = trq - offset x lin.
   """
   trq, lin = vec[..., :3], vec[..., 3:]
+  trq = trq - jnp.cross(offset, lin)
   if rot is not None:
     trq = jnp.einsum('...ij,...j->...i', rot, trq)
     lin = jnp.einsum('...ij,...j->...i', rot, lin)
-  trq = trq - jnp.cross(offset, lin)
   return jnp.concatenate([trq, lin], axis=-1)
 
 

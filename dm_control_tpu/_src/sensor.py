@@ -1,0 +1,395 @@
+"""Sensors: fill Data.sensordata (reference stages mj_sensorPos/Vel/Acc).
+
+Task observation code can read named slices of sensordata the way the
+reference reads `physics.named.data.sensordata` (e.g. finger touch at
+dm_control/suite/finger.py:92-94, cheetah speed at suite/cheetah.py:59-61).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dm_control_tpu._src import math
+from dm_control_tpu._src import smooth
+from dm_control_tpu._src.types import (Data, DisableBit, GeomType, JointType,
+                                       Model, ObjType, SensorType)
+
+
+def rne_postconstraint(m: Model, d: Data):
+  """(cacc, cfrc_int) with the solved qacc - for acc-stage sensors.
+
+  cfrc_int[b] = wrench transmitted from parent to b, in the com-centered
+  world-aligned frame of b's tree root.
+  """
+  dtype = d.qpos.dtype
+  gravity = jnp.asarray(m.opt.gravity, dtype)
+  if m.opt.disableflags & DisableBit.GRAVITY:
+    gravity = jnp.zeros(3, dtype)
+  base = jnp.concatenate([jnp.zeros(3, dtype), -gravity])
+  mask = jnp.asarray(m.body_dof_mask, dtype)
+
+  # external forces: contacts + xfrc_applied, in com-centered frames
+  cfrc_ext = jnp.zeros((m.nbody, 6), dtype)
+  if m.nbody > 1:
+    # xfrc_applied: wrench at xipos -> transform to com-centered frame
+    com = d.subtree_com[m.body_rootid]
+    offset = d.xipos - com
+    frc = d.xfrc_applied[:, :3]
+    trq = d.xfrc_applied[:, 3:]
+    # wrench at com = [trq + (xipos - com) x frc; frc]
+    cfrc_ext = jnp.concatenate(
+        [trq + jnp.cross(offset, frc), frc], axis=-1)
+  # contact forces
+  ncon = d.contact.dist.shape[0]
+  if ncon:
+    con = d.contact
+    force = _contact_forces(m, d)  # (ncon, 3) in contact frame (n, t1, t2)
+    world_f = jnp.einsum('cab,ca->cb', con.frame, force)
+    for b_sign, geom in ((1.0, con.geom2), (-1.0, con.geom1)):
+      bodyid = jnp.asarray(m.geom_bodyid)[jnp.maximum(geom, 0)]
+      com_c = d.subtree_com[jnp.asarray(m.body_rootid)[bodyid]]
+      offset = con.pos - com_c
+      f = b_sign * world_f
+      wrench = jnp.concatenate([jnp.cross(offset, f), f], axis=-1)
+      wrench = jnp.where((geom >= 0)[:, None], wrench, 0.0)
+      cfrc_ext = cfrc_ext.at[bodyid].add(wrench)
+
+  # forward pass: body accelerations
+  if m.nv:
+    cacc = base + jnp.einsum('bv,v,vx->bx', mask, d.qacc, d.cdof) + \
+        jnp.einsum('bv,v,vx->bx', mask, d.qvel, d.cdof_dot)
+  else:
+    cacc = jnp.broadcast_to(base, (m.nbody, 6))
+
+  cfrc_body = (math.inert_mul(d.cinert, cacc)
+               + math.motion_cross_force(
+                   d.cvel, math.inert_mul(d.cinert, d.cvel))
+               - cfrc_ext)
+
+  # backward accumulation: cfrc_int[b] = sum over subtree of cfrc_body
+  sub_mask = np.zeros((m.nbody, m.nbody))
+  for b2 in range(m.nbody):
+    b = b2
+    while True:
+      sub_mask[b, b2] = 1.0
+      if b == 0:
+        break
+      b = int(m.body_parentid[b])
+  cfrc_int = jnp.einsum('bc,cx->bx', jnp.asarray(sub_mask, dtype), cfrc_body)
+  return cacc, cfrc_int
+
+
+def _contact_forces(m: Model, d: Data) -> jax.Array:
+  """(ncon, 3) contact-frame force for each padded contact row."""
+  from dm_control_tpu._src import collision as coll
+  from dm_control_tpu._src.types import ConeType
+  dtype = d.qpos.dtype
+  ncon = d.contact.dist.shape[0]
+  forces = jnp.zeros((ncon, 3), dtype)
+  # walk the efc rows in the same static order as constraint assembly
+  idx_con = 0
+  # rows before contacts:
+  row = _num_noncontact_rows(m)
+  for g1, g2, p, npoints in coll._pair_entries(m):
+    condim = p['condim'] if p else coll._pair_condim(m, g1, g2)
+    for k in range(npoints):
+      i = idx_con + k
+      if condim == 1:
+        forces = forces.at[i, 0].add(d.efc_force[row])
+        row += 1
+      else:
+        mu = d.contact.friction[i]
+        nfr = condim - 1
+        f = jnp.zeros(3, dtype)
+        for t in range(min(nfr, 2)):
+          fplus = d.efc_force[row + 2 * t]
+          fminus = d.efc_force[row + 2 * t + 1]
+          forces = forces.at[i, 0].add(mu[t] * (fplus + fminus))
+          forces = forces.at[i, 1 + t].add(fplus - fminus)
+        row += 2 * nfr
+    idx_con += npoints
+  return forces
+
+
+def _num_noncontact_rows(m: Model) -> int:
+  n = 0
+  if m.opt.disableflags & DisableBit.CONSTRAINT:
+    return 0
+  if not (m.opt.disableflags & DisableBit.EQUALITY):
+    for i in range(m.neq):
+      n += {0: 3, 1: 6, 2: 1, 3: 1}[int(m.eq_type[i])]
+  if not (m.opt.disableflags & DisableBit.FRICTIONLOSS):
+    n += int((m.dof_frictionloss > 0).sum()) if m.nv else 0
+  if not (m.opt.disableflags & DisableBit.LIMIT):
+    n += int(m.jnt_limited.sum()) if m.njnt else 0
+    n += int(m.tendon_limited.sum()) if m.ntendon else 0
+  return n
+
+
+def _object_pos_mat(m: Model, d: Data, objtype: int, objid: int):
+  ot = ObjType(objtype)
+  if ot in (ObjType.BODY,):
+    return d.xipos[objid], d.ximat[objid]
+  if ot == ObjType.XBODY:
+    return d.xpos[objid], d.xmat[objid]
+  if ot == ObjType.GEOM:
+    return d.geom_xpos[objid], d.geom_xmat[objid]
+  if ot == ObjType.SITE:
+    return d.site_xpos[objid], d.site_xmat[objid]
+  raise NotImplementedError(f'frame sensor objtype {ot}')
+
+
+def _object_velocity(m: Model, d: Data, objtype: int, objid: int,
+                     local_rot=None):
+  """6D [ang; lin] velocity of object frame origin, optionally in a local
+  frame given by rotation matrix local_rot (world-from-local)."""
+  pos, mat = _object_pos_mat(m, d, objtype, objid)
+  ot = ObjType(objtype)
+  bodyid = {
+      ObjType.BODY: lambda: objid,
+      ObjType.XBODY: lambda: objid,
+      ObjType.GEOM: lambda: int(m.geom_bodyid[objid]),
+      ObjType.SITE: lambda: int(m.site_bodyid[objid]),
+  }[ot]()
+  com = d.subtree_com[m.body_rootid[bodyid]]
+  vel6 = math.transform_motion(d.cvel[bodyid], pos - com,
+                               local_rot.T if local_rot is not None else None)
+  return vel6
+
+
+def sensors(m: Model, d: Data) -> Data:
+  if m.nsensordata == 0 or (m.opt.disableflags & DisableBit.SENSOR):
+    return d
+  dtype = d.qpos.dtype
+  out = jnp.zeros(m.nsensordata, dtype)
+
+  need_acc = any(
+      SensorType(int(t)) in (
+          SensorType.TOUCH, SensorType.ACCELEROMETER, SensorType.FORCE,
+          SensorType.TORQUE, SensorType.FRAMELINACC, SensorType.FRAMEANGACC)
+      for t in m.sensor_type)
+  cacc = cfrc_int = None
+  if need_acc:
+    cacc, cfrc_int = rne_postconstraint(m, d)
+
+  for s in range(m.nsensor):
+    stype = SensorType(int(m.sensor_type[s]))
+    objid = int(m.sensor_objid[s])
+    adr = int(m.sensor_adr[s])
+    dim = int(m.sensor_dim[s])
+    objtype = int(m.sensor_objtype[s])
+
+    if stype == SensorType.JOINTPOS:
+      val = d.qpos[int(m.jnt_qposadr[objid])]
+    elif stype == SensorType.JOINTVEL:
+      val = d.qvel[int(m.jnt_dofadr[objid])]
+    elif stype == SensorType.BALLQUAT:
+      q = d.qpos[int(m.jnt_qposadr[objid]):int(m.jnt_qposadr[objid]) + 4]
+      val = math.normalize(q)
+    elif stype == SensorType.BALLANGVEL:
+      a = int(m.jnt_dofadr[objid])
+      val = d.qvel[a:a + 3]
+    elif stype == SensorType.TENDONPOS:
+      val = d.ten_length[objid]
+    elif stype == SensorType.TENDONVEL:
+      val = d.ten_velocity[objid]
+    elif stype == SensorType.ACTUATORPOS:
+      val = d.actuator_length[objid]
+    elif stype == SensorType.ACTUATORVEL:
+      val = d.actuator_velocity[objid]
+    elif stype == SensorType.ACTUATORFRC:
+      val = d.actuator_force[objid]
+    elif stype == SensorType.FRAMEPOS:
+      pos, _ = _object_pos_mat(m, d, objtype, objid)
+      val = pos
+    elif stype == SensorType.FRAMEQUAT:
+      _, mat = _object_pos_mat(m, d, objtype, objid)
+      val = math.mat_to_quat(mat)
+    elif stype in (SensorType.FRAMEXAXIS, SensorType.FRAMEYAXIS,
+                   SensorType.FRAMEZAXIS):
+      _, mat = _object_pos_mat(m, d, objtype, objid)
+      col = {SensorType.FRAMEXAXIS: 0, SensorType.FRAMEYAXIS: 1,
+             SensorType.FRAMEZAXIS: 2}[stype]
+      val = mat[:, col]
+    elif stype == SensorType.FRAMELINVEL:
+      val = _object_velocity(m, d, objtype, objid)[3:]
+    elif stype == SensorType.FRAMEANGVEL:
+      val = _object_velocity(m, d, objtype, objid)[:3]
+    elif stype == SensorType.SUBTREECOM:
+      val = d.subtree_com[objid]
+    elif stype == SensorType.SUBTREELINVEL:
+      val = _subtree_linvel(m, d)[objid]
+    elif stype == SensorType.SUBTREEANGMOM:
+      val = _subtree_angmom(m, d)[objid]
+    elif stype == SensorType.VELOCIMETER:
+      mat = d.site_xmat[objid]
+      val = _object_velocity(m, d, int(ObjType.SITE), objid, mat)[3:]
+    elif stype == SensorType.GYRO:
+      mat = d.site_xmat[objid]
+      val = _object_velocity(m, d, int(ObjType.SITE), objid, mat)[:3]
+    elif stype == SensorType.MAGNETOMETER:
+      mat = d.site_xmat[objid]
+      val = mat.T @ jnp.asarray(m.opt.magnetic, dtype)
+    elif stype == SensorType.CLOCK:
+      val = d.time
+    elif stype == SensorType.ACCELEROMETER:
+      val = _site_accel(m, d, objid, cacc)[3:]
+    elif stype == SensorType.FORCE:
+      bodyid = int(m.site_bodyid[objid])
+      com = d.subtree_com[m.body_rootid[bodyid]]
+      wrench = math.transform_force(
+          cfrc_int[bodyid], d.site_xpos[objid] - com)
+      val = d.site_xmat[objid].T @ wrench[3:]
+    elif stype == SensorType.TORQUE:
+      bodyid = int(m.site_bodyid[objid])
+      com = d.subtree_com[m.body_rootid[bodyid]]
+      wrench = math.transform_force(
+          cfrc_int[bodyid], d.site_xpos[objid] - com)
+      val = d.site_xmat[objid].T @ wrench[:3]
+    elif stype == SensorType.FRAMELINACC:
+      pos, _ = _object_pos_mat(m, d, objtype, objid)
+      bodyid = _obj_bodyid(m, objtype, objid)
+      val = _point_accel(m, d, pos, bodyid, cacc)
+    elif stype == SensorType.FRAMEANGACC:
+      bodyid = _obj_bodyid(m, objtype, objid)
+      val = cacc[bodyid, :3]
+    elif stype == SensorType.TOUCH:
+      val = _touch(m, d, objid)
+    elif stype == SensorType.RANGEFINDER:
+      val = jnp.asarray(-1.0, dtype)  # TODO: ray casting (quadruped)
+    else:
+      raise NotImplementedError(f'sensor {stype}')
+
+    val = jnp.ravel(jnp.asarray(val, dtype))
+    cutoff = float(m.sensor_cutoff[s])
+    if cutoff > 0 and stype not in (SensorType.TOUCH,):
+      val = jnp.clip(val, -cutoff, cutoff)
+    elif cutoff > 0:
+      val = jnp.clip(val, 0.0, cutoff)
+    out = out.at[adr:adr + dim].set(val)
+  return d.replace(sensordata=out)
+
+
+def _obj_bodyid(m: Model, objtype: int, objid: int) -> int:
+  ot = ObjType(objtype)
+  if ot in (ObjType.BODY, ObjType.XBODY):
+    return objid
+  if ot == ObjType.GEOM:
+    return int(m.geom_bodyid[objid])
+  if ot == ObjType.SITE:
+    return int(m.site_bodyid[objid])
+  raise NotImplementedError(str(ot))
+
+
+def _subtree_linvel(m: Model, d: Data) -> jax.Array:
+  """(nbody, 3) linear velocity of each body's subtree center of mass."""
+  dtype = d.qpos.dtype
+  mass = jnp.asarray(m.body_mass, dtype)
+  # body com velocities (world)
+  com = d.subtree_com[m.body_rootid]
+  lin = (d.cvel[:, 3:]
+         + jnp.cross(d.cvel[:, :3], d.xipos - com))
+  sub_mask = np.zeros((m.nbody, m.nbody))
+  for b2 in range(m.nbody):
+    b = b2
+    while True:
+      sub_mask[b, b2] = 1.0
+      if b == 0:
+        break
+      b = int(m.body_parentid[b])
+  sm = jnp.asarray(sub_mask, dtype)
+  tot = sm @ (mass[:, None] * lin)
+  den = jnp.maximum(sm @ mass, 1e-12)
+  return tot / den[:, None]
+
+
+def _subtree_angmom(m: Model, d: Data) -> jax.Array:
+  """(nbody, 3) angular momentum of each subtree about its own com."""
+  dtype = d.qpos.dtype
+  mass = jnp.asarray(m.body_mass, dtype)
+  com_root = d.subtree_com[m.body_rootid]
+  lin = d.cvel[:, 3:] + jnp.cross(d.cvel[:, :3], d.xipos - com_root)
+  ang = d.cvel[:, :3]
+  inertia = jnp.einsum(
+      'bik,bk,bjk->bij', d.ximat, jnp.asarray(m.body_inertia, dtype),
+      d.ximat)
+  sub_mask = np.zeros((m.nbody, m.nbody))
+  for b2 in range(m.nbody):
+    b = b2
+    while True:
+      sub_mask[b, b2] = 1.0
+      if b == 0:
+        break
+      b = int(m.body_parentid[b])
+  sm = jnp.asarray(sub_mask, dtype)
+  subtree_v = _subtree_linvel(m, d)
+  out = []
+  for b in range(m.nbody):
+    c = d.subtree_com[b]
+    v = subtree_v[b]
+    # sum over subtree: I_i w_i + m_i (r_i - c) x (v_i - v)
+    spin = jnp.einsum('bij,bj->bi', inertia, ang)
+    orbit = mass[:, None] * jnp.cross(d.xipos - c, lin - v)
+    total = jnp.einsum('c,cx->x', sm[b], spin + orbit)
+    out.append(total)
+  return jnp.stack(out)
+
+
+def _site_accel(m: Model, d: Data, siteid: int, cacc) -> jax.Array:
+  """6D [ang; lin] acceleration at a site, in the site frame."""
+  bodyid = int(m.site_bodyid[siteid])
+  pos = d.site_xpos[siteid]
+  mat = d.site_xmat[siteid]
+  com = d.subtree_com[m.body_rootid[bodyid]]
+  offset = pos - com
+  acc = math.transform_motion(cacc[bodyid], offset)
+  vel = math.transform_motion(d.cvel[bodyid], offset)
+  # centripetal correction for the linear part
+  lin = acc[3:] + jnp.cross(vel[:3], vel[3:])
+  ang = acc[:3]
+  return jnp.concatenate([mat.T @ ang, mat.T @ lin])
+
+
+def _point_accel(m: Model, d: Data, pos, bodyid: int, cacc) -> jax.Array:
+  com = d.subtree_com[m.body_rootid[bodyid]]
+  offset = pos - com
+  acc = math.transform_motion(cacc[bodyid], offset)
+  vel = math.transform_motion(d.cvel[bodyid], offset)
+  return acc[3:] + jnp.cross(vel[:3], vel[3:])
+
+
+def _touch(m: Model, d: Data, siteid: int) -> jax.Array:
+  """Sum of normal contact forces on the site's body, point inside site."""
+  dtype = d.qpos.dtype
+  ncon = d.contact.dist.shape[0]
+  if ncon == 0:
+    return jnp.zeros((), dtype)
+  bodyid = int(m.site_bodyid[siteid])
+  forces = _contact_forces(m, d)  # (ncon, 3) in contact frame
+  con = d.contact
+  g_body = jnp.asarray(m.geom_bodyid)
+  b1 = g_body[jnp.maximum(con.geom1, 0)]
+  b2 = g_body[jnp.maximum(con.geom2, 0)]
+  involves = jnp.logical_or(b1 == bodyid, b2 == bodyid)
+  active = con.dist < con.includemargin
+  # point-in-site-volume check
+  stype = GeomType(int(m.site_type[siteid]))
+  size = jnp.asarray(m.site_size[siteid], dtype)
+  local = jnp.einsum('ab,ca->cb',
+                     d.site_xmat[siteid],
+                     con.pos - d.site_xpos[siteid])
+  if stype == GeomType.SPHERE:
+    inside = jnp.sum(local * local, -1) <= size[0] ** 2
+  elif stype == GeomType.CAPSULE:
+    z = jnp.clip(local[:, 2], -size[1], size[1])
+    dd = local - jnp.stack(
+        [jnp.zeros_like(z), jnp.zeros_like(z), z], -1)
+    inside = jnp.sum(dd * dd, -1) <= size[0] ** 2
+  elif stype == GeomType.ELLIPSOID:
+    inside = jnp.sum((local / size) ** 2, -1) <= 1.0
+  else:  # box
+    inside = jnp.all(jnp.abs(local) <= size, -1)
+  mask = involves & active & inside
+  return jnp.sum(jnp.where(mask, jnp.abs(forces[:, 0]), 0.0))

@@ -1,0 +1,140 @@
+"""Constraint solver: dense projected Newton on the primal soft-constraint QP.
+
+Replaces the reference's native PGS/CG/Newton solvers.  The problem solved
+is the reference's convex soft-constraint model:
+
+  min_x  0.5 (x - a)' M (x - a) + sum_i c_i((J x - aref)_i)
+
+with per-row costs c_i: quadratic (equality), one-sided quadratic
+(limits / pyramidal contact edges), and Huber-style (dof friction loss).
+Because the problem is strictly convex, Newton converges to the same
+solution as the reference's chosen solver regardless of its `solver=`
+option — parity is on the solution, not the algorithm.
+
+TPU design: dense (nv x nv) Hessian + batched Cholesky per Newton step,
+fixed iteration counts, branch-free guarded-bisection exact line search.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dm_control_tpu._src.types import Data, DisableBit, Model
+
+# row cost types (static per model)
+EQUALITY = 0
+FRICTION = 1
+ONESIDED = 2
+
+_ROW_TYPES = {}  # id(model) -> np.ndarray of row types
+
+
+def register_row_types(m: Model, types):
+  _ROW_TYPES[id(m)] = np.asarray(types, np.int32)
+
+
+def row_types(m: Model) -> np.ndarray:
+  return _ROW_TYPES.get(id(m), np.zeros(0, np.int32))
+
+
+def _forces(jar, d_, fl, types, active):
+  """Constraint force per row = -dc/djar, given row types."""
+  f_eq = -d_ * jar
+  f_one = jnp.where(jar < 0, -d_ * jar, 0.0)
+  f_fr = jnp.clip(-d_ * jar, -fl, fl)
+  f = jnp.where(types == EQUALITY, f_eq,
+                jnp.where(types == FRICTION, f_fr, f_one))
+  return jnp.where(active, f, 0.0)
+
+
+def _cost(jar, d_, fl, types, active):
+  c_eq = 0.5 * d_ * jar * jar
+  c_one = jnp.where(jar < 0, 0.5 * d_ * jar * jar, 0.0)
+  lin = fl * jnp.abs(jar) - 0.5 * fl * fl / jnp.maximum(d_, 1e-14)
+  quad = 0.5 * d_ * jar * jar
+  c_fr = jnp.where(d_ * jnp.abs(jar) <= fl, quad, lin)
+  c = jnp.where(types == EQUALITY, c_eq,
+                jnp.where(types == FRICTION, c_fr, c_one))
+  return jnp.sum(jnp.where(active, c, 0.0))
+
+
+def _quad_active(jar, d_, fl, types, active):
+  """Rows currently in their quadratic zone (for the Hessian)."""
+  a_eq = jnp.ones_like(jar, bool)
+  a_one = jar < 0
+  a_fr = d_ * jnp.abs(jar) <= fl
+  a = jnp.where(types == EQUALITY, a_eq,
+                jnp.where(types == FRICTION, a_fr, a_one))
+  return jnp.logical_and(a, active)
+
+
+def solve(m: Model, d: Data) -> Data:
+  """Compute qacc (and efc forces) from qacc_smooth + constraint rows."""
+  dtype = d.qpos.dtype
+  nefc = d.efc_J.shape[0]
+  if (nefc == 0 or m.nv == 0
+      or m.opt.disableflags & DisableBit.CONSTRAINT):
+    return d.replace(qacc=d.qacc_smooth,
+                     qfrc_constraint=jnp.zeros(m.nv, dtype))
+
+  types = jnp.asarray(row_types(m))
+  active = d.efc_active
+  J = d.efc_J
+  aref = d.efc_aref
+  d_ = d.efc_D
+  fl = d.efc_frictionloss
+  a = d.qacc_smooth
+  M = d.qM
+
+  def total_cost(x):
+    jar = J @ x - aref
+    gauss = 0.5 * (x - a) @ (M @ (x - a))
+    return gauss + _cost(jar, d_, fl, types, active)
+
+  niter = min(int(m.opt.iterations), 15)
+
+  def newton_step(_, x):
+    jar = J @ x - aref
+    f = _forces(jar, d_, fl, types, active)
+    grad = M @ (x - a) - J.T @ f
+    qa = _quad_active(jar, d_, fl, types, active)
+    h = M + (J.T * jnp.where(qa, d_, 0.0)) @ J
+    # robust solve (h is PD: M PD + PSD)
+    chol = jax.scipy.linalg.cholesky(
+        h + 1e-12 * jnp.eye(m.nv, dtype=dtype), lower=True)
+    delta = -jax.scipy.linalg.cho_solve((chol, True), grad)
+
+    # exact line search by bisection on phi'(alpha), phi convex
+    djar = J @ delta
+    dmd = delta @ (M @ delta)
+    gma = delta @ (M @ (x - a))
+
+    def dphi(alpha):
+      jar_a = jar + alpha * djar
+      f_a = _forces(jar_a, d_, fl, types, active)
+      return gma + alpha * dmd - f_a @ djar
+
+    # grow bracket
+    hi = jnp.asarray(1.0, dtype)
+    for _ in range(8):
+      hi = jnp.where(dphi(hi) < 0, hi * 2.0, hi)
+    lo = jnp.zeros((), dtype)
+    for _ in range(26):
+      mid = 0.5 * (lo + hi)
+      neg = dphi(mid) < 0
+      lo = jnp.where(neg, mid, lo)
+      hi = jnp.where(neg, hi, mid)
+    alpha = 0.5 * (lo + hi)
+    x_new = x + alpha * delta
+    # keep the better point (safety against degenerate steps)
+    return jnp.where(total_cost(x_new) < total_cost(x), x_new, x)
+
+  x = jax.lax.fori_loop(0, niter, newton_step, a)
+
+  jar = J @ x - aref
+  force = _forces(jar, d_, fl, types, active)
+  qfrc_constraint = J.T @ force
+  return d.replace(qacc=x, qfrc_constraint=qfrc_constraint,
+                   efc_force=force)

@@ -484,6 +484,8 @@ class Data:
   geom_xmat: jax.Array  # (ngeom, 3, 3)
   site_xpos: jax.Array  # (nsite, 3)
   site_xmat: jax.Array  # (nsite, 3, 3)
+  xanchor: jax.Array    # (njnt, 3) joint anchors (sequential, world)
+  xaxis: jax.Array      # (njnt, 3) joint axes (sequential, world)
 
   # com-based quantities ---------------------------------------------------
   subtree_com: jax.Array  # (nbody, 3)

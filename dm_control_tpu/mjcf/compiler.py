@@ -1307,40 +1307,61 @@ class MJCFCompiler:
       use_geoms = (self.inertiafromgeom == 'true'
                    or (self.inertiafromgeom == 'auto' and bd.imass is None))
       if use_geoms and bd.geoms:
-        # aggregate geom masses/inertias
-        masses, coms, inertias = [], [], []
-        for gid in bd.geoms:
-          g = b.geoms[gid]
+        if len(bd.geoms) == 1:
+          # single geom: keep its frame verbatim (no eigendecomposition),
+          # matching the oracle's behavior -- the principal values stay in
+          # the geom's own axis order, possibly unsorted.
+          g = b.geoms[bd.geoms[0]]
           gt = T.GeomType(g['type'])
           vol = _geom_volume(gt, g['size'])
           mass = g['mass'] if g['mass'] is not None else g['density'] * vol
-          diag = (_geom_inertia(gt, g['size'], mass) if mass > 0
-                  else np.zeros(3))
-          rot = _nquat_to_mat(g['quat'])
-          inert = rot @ np.diag(diag) @ rot.T
-          masses.append(mass)
-          coms.append(g['pos'])
-          inertias.append(inert)
-        mass = sum(masses)
-        if mass > _EPS:
-          com = sum(mm * cc for mm, cc in zip(masses, coms)) / mass
+          body_mass[i] = mass
+          body_ipos[i] = g['pos']
+          body_iquat[i] = g['quat']
+          body_inertia[i] = (_geom_inertia(gt, g['size'], mass)
+                             if mass > 0 else np.zeros(3))
         else:
-          com = np.zeros(3)
-        total_inert = np.zeros((3, 3))
-        for mm, cc, ii in zip(masses, coms, inertias):
-          d = cc - com
-          total_inert += ii + mm * (np.dot(d, d) * np.eye(3) -
-                                    np.outer(d, d))
-        body_mass[i] = mass
-        body_ipos[i] = com
-        evals, evecs = np.linalg.eigh(total_inert)
-        # descending eigenvalues, right-handed frame
-        order = np.argsort(-evals)
-        evals, evecs = evals[order], evecs[:, order]
-        if np.linalg.det(evecs) < 0:
-          evecs[:, 2] *= -1
-        body_inertia[i] = np.maximum(evals, 0.0)
-        body_iquat[i] = _nmat_to_quat(evecs)
+          # aggregate geom masses/inertias
+          masses, coms, inertias = [], [], []
+          for gid in bd.geoms:
+            g = b.geoms[gid]
+            gt = T.GeomType(g['type'])
+            vol = _geom_volume(gt, g['size'])
+            mass = g['mass'] if g['mass'] is not None else g['density'] * vol
+            diag = (_geom_inertia(gt, g['size'], mass) if mass > 0
+                    else np.zeros(3))
+            rot = _nquat_to_mat(g['quat'])
+            inert = rot @ np.diag(diag) @ rot.T
+            masses.append(mass)
+            coms.append(g['pos'])
+            inertias.append(inert)
+          mass = sum(masses)
+          if mass > _EPS:
+            com = sum(mm * cc for mm, cc in zip(masses, coms)) / mass
+          else:
+            com = np.zeros(3)
+          total_inert = np.zeros((3, 3))
+          for mm, cc, ii in zip(masses, coms, inertias):
+            d = cc - com
+            total_inert += ii + mm * (np.dot(d, d) * np.eye(3) -
+                                      np.outer(d, d))
+          body_mass[i] = mass
+          body_ipos[i] = com
+          diag = np.diag(total_inert)
+          offdiag = total_inert - np.diag(diag)
+          if np.abs(offdiag).max() <= 1e-12 * max(np.abs(diag).max(), 1e-12):
+            # already diagonal: keep axis order verbatim (oracle behavior)
+            body_inertia[i] = np.maximum(diag, 0.0)
+            body_iquat[i] = np.array([1.0, 0, 0, 0])
+          else:
+            evals, evecs = np.linalg.eigh(total_inert)
+            # descending eigenvalues, right-handed frame
+            order = np.argsort(-evals)
+            evals, evecs = evals[order], evecs[:, order]
+            if np.linalg.det(evecs) < 0:
+              evecs[:, 2] *= -1
+            body_inertia[i] = np.maximum(evals, 0.0)
+            body_iquat[i] = _nmat_to_quat(evecs)
       elif bd.imass is not None:
         body_mass[i] = bd.imass
         body_ipos[i] = bd.ipos if bd.ipos is not None else np.zeros(3)

@@ -7,11 +7,19 @@ bench.py and __graft_entry__.py.
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+# Force CPU: the session environment may preset JAX_PLATFORMS to the remote
+# TPU tunnel, which would silently run float64 parity tests in float32 over
+# RPC.  Tests must be local CPU; the TPU path is bench.py / __graft_entry__.
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['XLA_FLAGS'] = (
+    os.environ.get('XLA_FLAGS', '')
+    + ' --xla_force_host_platform_device_count=8')
 
 import jax  # noqa: E402
 
+# The sandbox's sitecustomize force-registers the axon TPU plugin and can
+# override JAX_PLATFORMS; pin the platform programmatically as well.
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
 SUITE_DIR = '/root/reference/dm_control/suite'

@@ -1,0 +1,70 @@
+"""Full-step trajectory parity vs the MuJoCo CPU oracle.
+
+Steps both engines from identical states with identical control sequences
+and compares state trajectories (the BASELINE.json correctness mandate:
+bit-level state parity per task under fixed seed within float tolerance).
+"""
+
+import functools
+
+import mujoco
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dm_control_tpu._src import engine
+
+from conftest import SUITE_DIR
+
+# (xml, n_steps, atol): smooth models allow tight tolerances; contact-rich
+# models accumulate solver differences faster.
+CASES = [
+    ('pendulum.xml', 200, 1e-8),
+    ('cartpole.xml', 200, 1e-8),
+    ('point_mass.xml', 200, 1e-8),
+    ('reacher.xml', 200, 1e-8),
+    ('acrobot.xml', 200, 1e-8),
+    ('swimmer.xml', 200, 1e-7),
+    ('fish.xml', 200, 1e-7),
+]
+
+
+@functools.lru_cache(maxsize=None)
+def _models(xml):
+  path = f'{SUITE_DIR}/{xml}'
+  ref = mujoco.MjModel.from_xml_path(path)
+  m = engine.load_model(path)
+  step = engine.build_step(m)
+  return ref, m, step
+
+
+@pytest.mark.parametrize('xml,n_steps,atol', CASES)
+def test_trajectory_parity(xml, n_steps, atol):
+  ref, m, step = _models(xml)
+  rd = mujoco.MjData(ref)
+  rng = np.random.RandomState(0)
+  qpos = ref.qpos0 + rng.uniform(-0.05, 0.05, ref.nq)
+  for j in range(ref.njnt):
+    jt, adr = ref.jnt_type[j], ref.jnt_qposadr[j]
+    if jt == 0:
+      q = rng.randn(4)
+      qpos[adr + 3:adr + 7] = q / np.linalg.norm(q)
+    elif jt == 1:
+      q = rng.randn(4)
+      qpos[adr:adr + 4] = q / np.linalg.norm(q)
+  rd.qpos[:] = qpos
+  d = engine.make_data(m)
+  d = d.replace(qpos=jnp.asarray(qpos))
+
+  ctrls = rng.uniform(-1, 1, (n_steps, ref.nu))
+  max_err = 0.0
+  for t in range(n_steps):
+    rd.ctrl[:] = ctrls[t]
+    mujoco.mj_step(ref, rd)
+    d = step(d.replace(ctrl=jnp.asarray(ctrls[t])))
+    err = np.abs(np.asarray(d.qpos) - rd.qpos).max()
+    max_err = max(max_err, err)
+    assert err < atol, f'{xml} diverged at step {t}: |dqpos|={err:.3e}'
+  assert np.abs(np.asarray(d.qvel) - rd.qvel).max() < atol * 100
