@@ -60,7 +60,9 @@ def _pair_entries(m: Model):
 
 
 def count_max_contacts(m: Model) -> int:
-  if m.opt.disableflags & DisableBit.CONTACT:
+  # Contacts are also moot when the whole constraint solver is disabled
+  # (e.g. fish/acrobot set constraint=disable): no forces can result.
+  if m.opt.disableflags & (DisableBit.CONTACT | DisableBit.CONSTRAINT):
     return 0
   return sum(e[3] for e in _pair_entries(m))
 
