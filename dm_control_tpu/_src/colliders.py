@@ -60,15 +60,20 @@ def _combine_params(m: Model, g1: int, g2: int, pairinfo):
 
 
 def make_frame(normal: jax.Array) -> jax.Array:
-  """(..., 3, 3) frame with rows (normal, tangent1, tangent2)."""
+  """(..., 3, 3) frame with rows (normal, tangent1, tangent2).
+
+  Matches the oracle's frame construction (verified empirically):
+    t2 = normalize(cross(n, z))     [fallback cross(n, y) when n ~ z]
+    t1 = cross(t2, n)
+  """
   n = math.normalize(normal)
-  # pick a helper axis not parallel to n
-  ref = jnp.where(
-      (jnp.abs(n[..., 0:1]) < 0.5),
-      jnp.broadcast_to(jnp.array([1.0, 0, 0], n.dtype), n.shape),
-      jnp.broadcast_to(jnp.array([0.0, 1, 0], n.dtype), n.shape))
-  t1 = math.normalize(jnp.cross(n, ref))
-  t2 = jnp.cross(n, t1)
+  z = jnp.broadcast_to(jnp.array([0.0, 0, 1], n.dtype), n.shape)
+  y = jnp.broadcast_to(jnp.array([0.0, 1, 0], n.dtype), n.shape)
+  cz = jnp.cross(n, z)
+  cy = jnp.cross(n, y)
+  use_z = jnp.sum(cz * cz, axis=-1, keepdims=True) > 1e-14
+  t2 = math.normalize(jnp.where(use_z, cz, cy))
+  t1 = jnp.cross(t2, n)
   return jnp.stack([n, t1, t2], axis=-2)
 
 
@@ -93,7 +98,14 @@ def _plane_capsule(p_pos, p_mat, p_size, c_pos, c_mat, c_size):
   axis = c_mat[..., :, 2]
   r = c_size[..., 0]
   hl = c_size[..., 1]
-  dists, poss, ns = [], [], []
+  # oracle frame: t1 = capsule axis projected onto the plane (fallback to
+  # the generic frame when the axis is near the normal)
+  axp = axis - n * jnp.sum(axis * n, -1, keepdims=True)
+  ok = jnp.sum(axp * axp, -1, keepdims=True) > 1e-12
+  t1 = jnp.where(ok, math.normalize(axp), make_frame(n)[..., 1, :])
+  t2 = jnp.cross(n, t1)
+  frame = jnp.stack([n, t1, t2], axis=-2)
+  dists, poss, frames = [], [], []
   for sign in (1.0, -1.0):
     end = c_pos + sign * hl[..., None] * axis
     h = jnp.sum(n * (end - p_pos), -1)
@@ -101,8 +113,9 @@ def _plane_capsule(p_pos, p_mat, p_size, c_pos, c_mat, c_size):
     pos = end - n * (r + dist / 2)[..., None]
     dists.append(dist)
     poss.append(pos)
-    ns.append(n)
-  return (jnp.stack(dists, -1), jnp.stack(poss, -2), jnp.stack(ns, -2))
+    frames.append(frame)
+  return (jnp.stack(dists, -1), jnp.stack(poss, -2),
+          jnp.stack(frames, -3))
 
 
 def _plane_ellipsoid(p_pos, p_mat, p_size, e_pos, e_mat, e_size):
@@ -302,9 +315,11 @@ def collide_all(m: Model, d: Data) -> Data:
     size1 = jnp.asarray(m.geom_size[idx1], dtype)
     size2 = jnp.asarray(m.geom_size[idx2], dtype)
 
-    dist, pos, normal = fn(pos1, mat1, size1, pos2, mat2, size2)
-    npair = dist.shape[-1]
-    frame = make_frame(normal)
+    dist, pos, normal_or_frame = fn(pos1, mat1, size1, pos2, mat2, size2)
+    if normal_or_frame.ndim == pos.ndim + 1:
+      frame = normal_or_frame
+    else:
+      frame = make_frame(normal_or_frame)
 
     for k, (gg1, gg2, pp, nn) in enumerate(group):
       condim, friction, solref, solimp, margin, gap = _combine_params(

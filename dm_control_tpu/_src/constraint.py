@@ -309,10 +309,12 @@ def _contact_rows(m: Model, d: Data, rows: Rows):
             fr_rows += [jr_ @ frame[0], jr_ @ frame[1], jr_ @ frame[2]]
             mus += [mu[2], mu[3], mu[4]]
           for t in range(condim - 1):
-            # pyramid-edge invweight scaling (verified vs oracle efc_D)
-            iw = invweight * 2.0 * mus[t] * mus[t] + invweight
+            # pyramid-edge invweight = 2 mu^2 (1 + mu^2) iw
+            # (fit exactly against oracle efc_D across mu values)
+            iw = invweight * 2.0 * mus[t] ** 2 * (1.0 + mus[t] ** 2)
             for sign in (1.0, -1.0):
-              jrow = jn * mus[t] + sign * fr_rows[t]
+              # edge direction in force space: n + sign*mu*t
+              jrow = jn + sign * mus[t] * fr_rows[t]
               rows.add(jrow, pos, margin, con.solref[i], con.solimp[i],
                        iw, active, pos_for_imp=pos)
     idx += npoints

@@ -102,12 +102,12 @@ def _contact_forces(m: Model, d: Data) -> jax.Array:
       else:
         mu = d.contact.friction[i]
         nfr = condim - 1
-        f = jnp.zeros(3, dtype)
         for t in range(min(nfr, 2)):
           fplus = d.efc_force[row + 2 * t]
           fminus = d.efc_force[row + 2 * t + 1]
-          forces = forces.at[i, 0].add(mu[t] * (fplus + fminus))
-          forces = forces.at[i, 1 + t].add(fplus - fminus)
+          # edge force n + mu t: normal adds lambda, tangent adds mu*lambda
+          forces = forces.at[i, 0].add(fplus + fminus)
+          forces = forces.at[i, 1 + t].add(mu[t] * (fplus - fminus))
         row += 2 * nfr
     idx_con += npoints
   return forces
