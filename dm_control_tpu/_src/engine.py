@@ -36,12 +36,20 @@ def make_data(m: Model, dtype=None) -> Data:
 
 
 def build_step(m: Model) -> Callable[[Data], Data]:
-  """Jitted physics step closure over the static model."""
-  return jax.jit(functools.partial(_forward.step, m))
+  """Jitted physics step closure over the static model (cached on m)."""
+  fn = getattr(m, '_step_jit', None)
+  if fn is None:
+    fn = jax.jit(functools.partial(_forward.step, m))
+    m._step_jit = fn
+  return fn
 
 
 def build_forward(m: Model) -> Callable[[Data], Data]:
-  return jax.jit(functools.partial(_forward.forward, m))
+  fn = getattr(m, '_forward_jit', None)
+  if fn is None:
+    fn = jax.jit(functools.partial(_forward.forward, m))
+    m._forward_jit = fn
+  return fn
 
 
 def reset_data(m: Model, d: Data, keyframe: Optional[int] = None) -> Data:

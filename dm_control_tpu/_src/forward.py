@@ -68,6 +68,7 @@ def make_data(m: Model, dtype=None) -> Data:
       efc_force=z(nefc), efc_active=jnp.zeros(nefc, bool),
       sensordata=z(m.nsensordata),
       energy=z(2), diverged=jnp.zeros((), bool),
+      model_var={},
   )
 
 

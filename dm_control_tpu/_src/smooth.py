@@ -29,8 +29,12 @@ from dm_control_tpu._src import math
 from dm_control_tpu._src.types import Data, JointType, Model
 
 
-def _take(x, i):
-  return x[..., i, :] if x.ndim > 1 else x[i]
+def mparam(m: Model, d: Data, name: str) -> jnp.ndarray:
+  """Model array with optional per-episode override from d.model_var."""
+  mv = d.model_var or {}
+  if name in mv:
+    return jnp.asarray(mv[name], d.qpos.dtype)
+  return jnp.asarray(getattr(m, name), d.qpos.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -109,16 +113,16 @@ def kinematics(m: Model, d: Data) -> Data:
   ximat = jnp.einsum('bij,bjk->bik', xmat,
                      math.quat_to_mat(body_iquat))
 
-  # geoms / sites
+  # geoms / sites (pos overridable per episode, e.g. moving targets)
   gb = m.geom_bodyid
   geom_xpos = xpos[gb] + jnp.einsum(
-      'gij,gj->gi', xmat[gb], jnp.asarray(m.geom_pos, dtype))
+      'gij,gj->gi', xmat[gb], mparam(m, d, 'geom_pos'))
   geom_xmat = jnp.einsum(
       'gij,gjk->gik', xmat[gb],
       math.quat_to_mat(jnp.asarray(m.geom_quat, dtype)))
   sb = m.site_bodyid
   site_xpos = xpos[sb] + jnp.einsum(
-      'sij,sj->si', xmat[sb], jnp.asarray(m.site_pos, dtype))
+      'sij,sj->si', xmat[sb], mparam(m, d, 'site_pos'))
   site_xmat = jnp.einsum(
       'sij,sjk->sik', xmat[sb],
       math.quat_to_mat(jnp.asarray(m.site_quat, dtype)))
@@ -352,9 +356,10 @@ def tendon(m: Model, d: Data) -> Data:
     if all(w == 0 for w in wtypes):  # fixed: joint entries
       length = jnp.zeros((), dtype)
       jac = jnp.zeros(m.nv, dtype)
+      wrap_prm = mparam(m, d, 'wrap_prm')
       for w in range(adr, adr + num):
         j = int(m.wrap_objid[w])
-        coef = float(m.wrap_prm[w])
+        coef = wrap_prm[w]
         qadr = int(m.jnt_qposadr[j])
         dadr = int(m.jnt_dofadr[j])
         length = length + coef * d.qpos[qadr]

@@ -93,7 +93,13 @@ def solve(m: Model, d: Data) -> Data:
     gauss = 0.5 * (x - a) @ (M @ (x - a))
     return gauss + _cost(jar, d_, fl, types, active)
 
-  niter = min(int(m.opt.iterations), 15)
+  # Few Newton iterations with a shallow piecewise-quadratic line search:
+  # phi'(alpha) is piecewise linear increasing, so guarded Newton-on-phi'
+  # converges in a handful of evaluations.  Sequential depth is the TPU
+  # bottleneck (each unrolled eval is a serial kernel), so this is tuned
+  # for depth, not per-iteration cheapness.
+  niter = min(int(m.opt.iterations), 10)
+  ls_iter = 8
 
   def newton_step(_, x):
     jar = J @ x - aref
@@ -106,27 +112,30 @@ def solve(m: Model, d: Data) -> Data:
         h + 1e-12 * jnp.eye(m.nv, dtype=dtype), lower=True)
     delta = -jax.scipy.linalg.cho_solve((chol, True), grad)
 
-    # exact line search by bisection on phi'(alpha), phi convex
     djar = J @ delta
     dmd = delta @ (M @ delta)
     gma = delta @ (M @ (x - a))
 
-    def dphi(alpha):
+    def dphi_ddphi(alpha):
       jar_a = jar + alpha * djar
       f_a = _forces(jar_a, d_, fl, types, active)
-      return gma + alpha * dmd - f_a @ djar
+      qa_a = _quad_active(jar_a, d_, fl, types, active)
+      dp = gma + alpha * dmd - f_a @ djar
+      ddp = dmd + jnp.sum(jnp.where(qa_a, d_, 0.0) * djar * djar)
+      return dp, ddp
 
-    # grow bracket
-    hi = jnp.asarray(1.0, dtype)
-    for _ in range(8):
-      hi = jnp.where(dphi(hi) < 0, hi * 2.0, hi)
+    # guarded Newton on phi' starting at the full step
+    alpha = jnp.asarray(1.0, dtype)
     lo = jnp.zeros((), dtype)
-    for _ in range(26):
-      mid = 0.5 * (lo + hi)
-      neg = dphi(mid) < 0
-      lo = jnp.where(neg, mid, lo)
-      hi = jnp.where(neg, hi, mid)
-    alpha = 0.5 * (lo + hi)
+    hi = jnp.asarray(4.0, dtype)
+    for _ in range(ls_iter):
+      dp, ddp = dphi_ddphi(alpha)
+      lo = jnp.where(dp < 0, jnp.maximum(lo, alpha), lo)
+      hi = jnp.where(dp > 0, jnp.minimum(hi, alpha), hi)
+      alpha_n = alpha - dp / jnp.maximum(ddp, 1e-14)
+      # fall back to bisection when Newton leaves the bracket
+      alpha = jnp.where(
+          (alpha_n > lo) & (alpha_n < hi), alpha_n, 0.5 * (lo + hi))
     x_new = x + alpha * delta
     # keep the better point (safety against degenerate steps)
     return jnp.where(total_cost(x_new) < total_cost(x), x_new, x)

@@ -540,3 +540,10 @@ class Data:
   # diagnostics ------------------------------------------------------------
   energy: jax.Array         # (2,) potential, kinetic
   diverged: jax.Array       # () bool - state became non-finite
+
+  # per-episode model-parameter overrides (replaces the reference's
+  # per-episode mutation of mjModel fields, e.g. suite/reacher.py target
+  # geom_pos): dict of {field_name: array} taking precedence over the
+  # static Model arrays inside the engine.  Keys are part of the pytree
+  # structure (static); values are batchable leaves.
+  model_var: Any

@@ -1,0 +1,64 @@
+"""Control Suite: domain discovery + load()
+(reference: dm_control/suite/__init__.py:50-155)."""
+
+from __future__ import annotations
+
+import importlib
+import inspect
+from typing import Optional
+
+from dm_control_tpu.rl import control
+
+_DOMAINS = [
+    'acrobot', 'ball_in_cup', 'cartpole', 'cheetah', 'finger', 'fish',
+    'hopper', 'humanoid', 'pendulum', 'point_mass', 'reacher', 'swimmer',
+    'walker',
+]
+
+
+def _get_domain(name: str):
+  if name not in _DOMAINS:
+    raise ValueError(f'unknown domain {name!r}; available: {_DOMAINS}')
+  return importlib.import_module(f'dm_control_tpu.suite.{name}')
+
+
+def _all_tasks():
+  out = []
+  for domain in _DOMAINS:
+    mod = _get_domain(domain)
+    for task in mod.SUITE:
+      out.append((domain, task))
+  return out
+
+
+ALL_TASKS = _all_tasks()
+BENCHMARKING = [
+    (d, t) for d, t in ALL_TASKS
+    if 'benchmarking' in _get_domain(d).SUITE.tags(t)]
+
+
+def load(domain_name: str, task_name: str, task_kwargs: Optional[dict] = None,
+         environment_kwargs: Optional[dict] = None,
+         visualize_reward: bool = False) -> control.Environment:
+  """Build a dm_env Environment for (domain, task)."""
+  del visualize_reward  # no interactive renderer in the hot path
+  return build_environment(domain_name, task_name, task_kwargs,
+                           environment_kwargs)
+
+
+def build_environment(domain_name: str, task_name: str,
+                      task_kwargs=None, environment_kwargs=None):
+  mod = _get_domain(domain_name)
+  if task_name not in mod.SUITE:
+    raise ValueError(
+        f'unknown task {task_name!r} in domain {domain_name!r}')
+  task_kwargs = dict(task_kwargs or {})
+  if environment_kwargs is not None:
+    task_kwargs['environment_kwargs'] = environment_kwargs
+  return mod.SUITE[task_name](**task_kwargs)
+
+
+def build_task(domain_name: str, task_name: str, **kwargs):
+  """Return the underlying functional TaskDef (for batched runners)."""
+  env = build_environment(domain_name, task_name, kwargs or None)
+  return env.task
