@@ -471,10 +471,10 @@ def euler(m: Model, d: Data) -> Data:
   if (m.nv and not (m.opt.disableflags & DisableBit.EULERDAMP)
       and np.any(m.dof_damping > 0)):
     h = float(m.opt.timestep)
+    from dm_control_tpu._src import linalg
     mhb = d.qM + h * jnp.diag(jnp.asarray(m.dof_damping, dtype))
     qfrc = d.qfrc_smooth + d.qfrc_constraint
-    qacc = jax.scipy.linalg.cho_solve(
-        (jax.scipy.linalg.cholesky(mhb, lower=True), True), qfrc)
+    qacc = linalg.solve_psd(mhb, qfrc)
   return _advance(m, d, qacc, d.act_dot)
 
 

@@ -244,12 +244,14 @@ def factor_m(m: Model, d: Data) -> Data:
   """Dense Cholesky of qM (the TPU replacement for sparse LTDL)."""
   if m.nv == 0:
     return d
-  return d.replace(qLD=jax.scipy.linalg.cholesky(d.qM, lower=True))
+  from dm_control_tpu._src import linalg
+  return d.replace(qLD=linalg.cholesky(d.qM))
 
 
 def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
   """Solve qM y = x using the cached Cholesky factor."""
-  return jax.scipy.linalg.cho_solve((d.qLD, True), x)
+  from dm_control_tpu._src import linalg
+  return linalg.cho_solve(d.qLD, x)
 
 
 # ---------------------------------------------------------------------------

@@ -88,35 +88,34 @@ def solve(m: Model, d: Data) -> Data:
   a = d.qacc_smooth
   M = d.qM
 
-  def total_cost(x):
-    jar = J @ x - aref
-    gauss = 0.5 * (x - a) @ (M @ (x - a))
-    return gauss + _cost(jar, d_, fl, types, active)
-
   # Few Newton iterations with a shallow piecewise-quadratic line search:
   # phi'(alpha) is piecewise linear increasing, so guarded Newton-on-phi'
-  # converges in a handful of evaluations.  Sequential depth is the TPU
-  # bottleneck (each unrolled eval is a serial kernel), so this is tuned
-  # for depth, not per-iteration cheapness.
+  # converges in a handful of evaluations.  The loop is UNROLLED (python
+  # range) and all matrix solves use the fused small-matrix path in
+  # linalg.py: on TPU the solver cost is dominated by kernel-launch
+  # latency, so everything is written to fuse into few large kernels.
+  from dm_control_tpu._src import linalg
   niter = min(int(m.opt.iterations), 10)
   ls_iter = 8
+  eye_reg = 1e-12 * jnp.eye(m.nv, dtype=dtype)
 
-  def newton_step(_, x):
-    jar = J @ x - aref
+  def constraint_cost(jar):
+    return _cost(jar, d_, fl, types, active)
+
+  x = a
+  jar = J @ x - aref
+  for _ in range(niter):
     f = _forces(jar, d_, fl, types, active)
     grad = M @ (x - a) - J.T @ f
     qa = _quad_active(jar, d_, fl, types, active)
     h = M + (J.T * jnp.where(qa, d_, 0.0)) @ J
-    # robust solve (h is PD: M PD + PSD)
-    chol = jax.scipy.linalg.cholesky(
-        h + 1e-12 * jnp.eye(m.nv, dtype=dtype), lower=True)
-    delta = -jax.scipy.linalg.cho_solve((chol, True), grad)
+    delta = -linalg.solve_psd(h + eye_reg, grad)
 
     djar = J @ delta
     dmd = delta @ (M @ delta)
     gma = delta @ (M @ (x - a))
 
-    def dphi_ddphi(alpha):
+    def dphi_ddphi(alpha, jar=jar, djar=djar, gma=gma, dmd=dmd):
       jar_a = jar + alpha * djar
       f_a = _forces(jar_a, d_, fl, types, active)
       qa_a = _quad_active(jar_a, d_, fl, types, active)
@@ -133,14 +132,16 @@ def solve(m: Model, d: Data) -> Data:
       lo = jnp.where(dp < 0, jnp.maximum(lo, alpha), lo)
       hi = jnp.where(dp > 0, jnp.minimum(hi, alpha), hi)
       alpha_n = alpha - dp / jnp.maximum(ddp, 1e-14)
-      # fall back to bisection when Newton leaves the bracket
       alpha = jnp.where(
           (alpha_n > lo) & (alpha_n < hi), alpha_n, 0.5 * (lo + hi))
-    x_new = x + alpha * delta
-    # keep the better point (safety against degenerate steps)
-    return jnp.where(total_cost(x_new) < total_cost(x), x_new, x)
 
-  x = jax.lax.fori_loop(0, niter, newton_step, a)
+    # keep the better point (cost from cached quadratic pieces)
+    jar_new = jar + alpha * djar
+    d_cost = (alpha * gma + 0.5 * alpha * alpha * dmd
+              + constraint_cost(jar_new) - constraint_cost(jar))
+    improved = d_cost < 0
+    x = jnp.where(improved, x + alpha * delta, x)
+    jar = jnp.where(improved, jar_new, jar)
 
   jar = J @ x - aref
   force = _forces(jar, d_, fl, types, active)

@@ -45,8 +45,9 @@ class ShardedBatchedEnv:
     return jax.device_put(state, self._sharding_for(state))
 
   def _sharding_for(self, tree):
+    n_dev = self.mesh.devices.size
     def spec(x):
-      if getattr(x, 'ndim', 0) >= 1:
+      if getattr(x, 'ndim', 0) >= 1 and x.shape[0] % n_dev == 0:
         return NamedSharding(self.mesh, P(self.axis))
       return self._replicated
     return jax.tree_util.tree_map(spec, tree)
