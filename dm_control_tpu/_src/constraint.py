@@ -318,3 +318,38 @@ def _contact_rows(m: Model, d: Data, rows: Rows):
               rows.add(jrow, pos, margin, con.solref[i], con.solimp[i],
                        iw, active, pos_for_imp=pos)
     idx += npoints
+
+
+def static_row_types(m: Model) -> np.ndarray:
+  """Row-type layout (EQUALITY/FRICTION/ONESIDED) computed statically.
+
+  Must mirror make_constraint's row emission order exactly; used by the
+  solver so it never depends on trace-order side effects.
+  """
+  from dm_control_tpu._src import collision as coll
+  types = []
+  if m.opt.disableflags & DisableBit.CONSTRAINT:
+    return np.zeros(0, np.int32)
+  if not (m.opt.disableflags & DisableBit.EQUALITY):
+    for e in range(m.neq):
+      etype = EqType(int(m.eq_type[e]))
+      n = {EqType.CONNECT: 3, EqType.WELD: 6, EqType.JOINT: 1,
+           EqType.TENDON: 1}[etype]
+      types += [_solver.EQUALITY] * n
+  if not (m.opt.disableflags & DisableBit.FRICTIONLOSS):
+    for v in range(m.nv):
+      if float(m.dof_frictionloss[v]) > 0:
+        types.append(_solver.FRICTION)
+  if not (m.opt.disableflags & DisableBit.LIMIT):
+    for j in range(m.njnt):
+      if m.jnt_limited[j] and int(m.jnt_type[j]) != int(JointType.FREE):
+        types.append(_solver.ONESIDED)
+    for t in range(m.ntendon):
+      if m.tendon_limited[t]:
+        types.append(_solver.ONESIDED)
+  if not (m.opt.disableflags & DisableBit.CONTACT):
+    for g1, g2, p, npoints in coll._pair_entries(m):
+      condim = p['condim'] if p else coll._pair_condim(m, g1, g2)
+      rows = 1 if condim == 1 else 2 * (condim - 1)
+      types += [_solver.ONESIDED] * (rows * npoints)
+  return np.asarray(types, np.int32)

@@ -383,16 +383,39 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
   return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
 
 
-def forward(m: Model, d: Data) -> Data:
+def step1(m: Model, d: Data) -> Data:
+  """Position + velocity stages + pos/vel sensors (mj_step1 analog)."""
   d = fwd_position(m, d)
   d = fwd_velocity(m, d)
+  from dm_control_tpu._src import sensor
+  d = sensor.sensors(m, d, stages='posvel')
+  d = _energy(m, d)
+  return d
+
+
+def _acc_stage(m: Model, d: Data, skipsensor: bool = False) -> Data:
+  """Actuation + acceleration + constraint solve (+ acc sensors)."""
   d = fwd_actuation(m, d)
   d = fwd_acceleration(m, d)
   from dm_control_tpu._src import solver
   d = solver.solve(m, d)
-  from dm_control_tpu._src import sensor
-  d = sensor.sensors(m, d)
-  d = _energy(m, d)
+  if not skipsensor:
+    from dm_control_tpu._src import sensor
+    d = sensor.sensors(m, d, stages='acc')
+  return d
+
+
+def forward(m: Model, d: Data) -> Data:
+  d = step1(m, d)
+  d = _acc_stage(m, d)
+  return d
+
+
+def _forward_core(m: Model, d: Data) -> Data:
+  """Full pipeline without sensors/energy (RK4 internal stages)."""
+  d = fwd_position(m, d)
+  d = fwd_velocity(m, d)
+  d = _acc_stage(m, d, skipsensor=True)
   return d
 
 
@@ -504,7 +527,7 @@ def rk4(m: Model, d: Data) -> Data:
         qvel=d0.qvel + h * dqacc,
         act=d0.act + h * dact,
     )
-    di = forward(m, di)
+    di = _forward_core(m, di)
     qvels.append(di.qvel)
     qaccs.append(di.qacc)
     act_dots.append(di.act_dot)
@@ -519,12 +542,19 @@ def rk4(m: Model, d: Data) -> Data:
 
 
 def step(m: Model, d: Data) -> Data:
-  """One physics step: forward dynamics + integrate (mj_step parity)."""
-  d = forward(m, d)
+  """One physics step with the reference's step2-then-step1 ordering
+  (dm_control/mujoco/engine.py:147-171, legacy_step=True): the input Data
+  must be step1-synced (reset/forward establish this); on return every
+  position/velocity-dependent field matches the new qpos/qvel, so task
+  observation code reads a consistent state.  Acc-stage quantities (qacc,
+  contact forces, touch sensors) are from the pre-integration state, as
+  in the reference."""
+  d = _acc_stage(m, d)
   if m.opt.integrator == Integrator.RK4:
     d = rk4(m, d)
   else:
     d = euler(m, d)
+  d = step1(m, d)
   d = _check_divergence(m, d)
   return d
 

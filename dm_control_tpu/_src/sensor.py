@@ -159,22 +159,38 @@ def _object_velocity(m: Model, d: Data, objtype: int, objid: int,
   return vel6
 
 
-def sensors(m: Model, d: Data) -> Data:
+_ACC_STAGE = (SensorType.TOUCH, SensorType.ACCELEROMETER,
+              SensorType.FORCE, SensorType.TORQUE, SensorType.ACTUATORFRC,
+              SensorType.FRAMELINACC, SensorType.FRAMEANGACC)
+
+
+def sensors(m: Model, d: Data, stages: str = 'all') -> Data:
+  """Fill sensordata rows for the requested stage group.
+
+  stages: 'posvel' (mj_sensorPos/Vel analog), 'acc' (mj_sensorAcc), 'all'.
+  Rows outside the group keep their previous values, mirroring the
+  reference's stage-split sensor updates under the step2-then-step1
+  stepping order (dm_control/mujoco/engine.py:147-171).
+  """
   if m.nsensordata == 0 or (m.opt.disableflags & DisableBit.SENSOR):
     return d
   dtype = d.qpos.dtype
-  out = jnp.zeros(m.nsensordata, dtype)
+  out = d.sensordata
+
+  selected = []
+  for s in range(m.nsensor):
+    st = SensorType(int(m.sensor_type[s]))
+    is_acc = st in _ACC_STAGE
+    if stages == 'all' or (stages == 'acc') == is_acc:
+      selected.append(s)
 
   need_acc = any(
-      SensorType(int(t)) in (
-          SensorType.TOUCH, SensorType.ACCELEROMETER, SensorType.FORCE,
-          SensorType.TORQUE, SensorType.FRAMELINACC, SensorType.FRAMEANGACC)
-      for t in m.sensor_type)
+      SensorType(int(m.sensor_type[s])) in _ACC_STAGE for s in selected)
   cacc = cfrc_int = None
   if need_acc:
     cacc, cfrc_int = rne_postconstraint(m, d)
 
-  for s in range(m.nsensor):
+  for s in selected:
     stype = SensorType(int(m.sensor_type[s]))
     objid = int(m.sensor_objid[s])
     adr = int(m.sensor_adr[s])

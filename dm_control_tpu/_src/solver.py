@@ -36,7 +36,13 @@ def register_row_types(m: Model, types):
 
 
 def row_types(m: Model) -> np.ndarray:
-  return _ROW_TYPES.get(id(m), np.zeros(0, np.int32))
+  cached = _ROW_TYPES.get(id(m))
+  if cached is not None and cached.size:
+    return cached
+  from dm_control_tpu._src import constraint as _constraint
+  types = _constraint.static_row_types(m)
+  _ROW_TYPES[id(m)] = types
+  return types
 
 
 def _forces(jar, d_, fl, types, active):
@@ -97,14 +103,17 @@ def solve(m: Model, d: Data) -> Data:
   from dm_control_tpu._src import linalg
   niter = min(int(m.opt.iterations), 10)
   ls_iter = 8
+  # Unroll for small problems (fusion-friendly, low kernel-launch count);
+  # large models (humanoid-scale nefc*nv) would blow up XLA program size,
+  # so they run the same body under fori_loop instead.
+  unroll = nefc * m.nv * niter <= 20_000
   eye_reg = 1e-12 * jnp.eye(m.nv, dtype=dtype)
 
   def constraint_cost(jar):
     return _cost(jar, d_, fl, types, active)
 
-  x = a
-  jar = J @ x - aref
-  for _ in range(niter):
+  def newton_body(carry):
+    x, jar = carry
     f = _forces(jar, d_, fl, types, active)
     grad = M @ (x - a) - J.T @ f
     qa = _quad_active(jar, d_, fl, types, active)
@@ -142,6 +151,16 @@ def solve(m: Model, d: Data) -> Data:
     improved = d_cost < 0
     x = jnp.where(improved, x + alpha * delta, x)
     jar = jnp.where(improved, jar_new, jar)
+    return x, jar
+
+  x = a
+  jar = J @ x - aref
+  if unroll:
+    for _ in range(niter):
+      x, jar = newton_body((x, jar))
+  else:
+    x, jar = jax.lax.fori_loop(
+        0, niter, lambda _, c: newton_body(c), (x, jar))
 
   jar = J @ x - aref
   force = _forces(jar, d_, fl, types, active)

@@ -335,6 +335,7 @@ class Model:
   geom_solmix: np.ndarray = None    # (ngeom,)
   geom_solref: np.ndarray = None    # (ngeom, 2)
   geom_solimp: np.ndarray = None    # (ngeom, 5)
+  geom_rgba: np.ndarray = None      # (ngeom, 4) for the built-in renderer
 
   # sites ------------------------------------------------------------------
   site_bodyid: np.ndarray = None    # (nsite,) i4

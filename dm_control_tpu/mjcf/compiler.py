@@ -449,7 +449,16 @@ class MJCFCompiler:
 
   # -- worldbody walk -------------------------------------------------------
 
+  def _parse_materials(self):
+    mats = {}
+    for asset in self.root.findall('asset'):
+      for mat in asset.findall('material'):
+        if 'rgba' in mat.attrib:
+          mats[mat.attrib.get('name', '')] = _floats(mat.attrib['rgba'])
+    return mats
+
   def build(self) -> T.Model:
+    self._materials = self._parse_materials()
     world = self.root.find('worldbody')
     if world is None:
       raise ValueError('missing <worldbody>')
@@ -579,6 +588,12 @@ class MJCFCompiler:
     if 'friction' in a:
       f = _floats(a['friction'])
       friction[:len(f)] = f
+    if 'rgba' in a:
+      rgba = _floats(a['rgba'])
+    elif a.get('material') in getattr(self, '_materials', {}):
+      rgba = self._materials[a['material']]
+    else:
+      rgba = np.array([0.5, 0.5, 0.5, 1.0])
     mass = float(a['mass']) if 'mass' in a else None
     density = float(a.get('density', '1000'))
     self.b.geoms.append(dict(
@@ -594,6 +609,7 @@ class MJCFCompiler:
         solmix=float(a.get('solmix', '1')),
         solref=_padded(a, 'solref', _SOLREF_DEF),
         solimp=_padded(a, 'solimp', _SOLIMP_DEF),
+        rgba=rgba,
     ))
     self.b.bodies[body_id].geoms.append(len(self.b.geoms) - 1)
 
@@ -870,8 +886,11 @@ class MJCFCompiler:
   # -- options --------------------------------------------------------------
 
   def _parse_option(self) -> T.Option:
-    el = self.root.find('option')
-    a = dict(el.attrib) if el is not None else {}
+    # MJCF allows multiple <option> elements; merge attributes and flags
+    els = self.root.findall('option')
+    a = {}
+    for el in els:
+      a.update(el.attrib)
     disable = 0
     flag_map = dict(
         constraint=T.DisableBit.CONSTRAINT, equality=T.DisableBit.EQUALITY,
@@ -883,7 +902,7 @@ class MJCFCompiler:
         sensor=T.DisableBit.SENSOR, eulerdamp=T.DisableBit.EULERDAMP,
         filterparent=T.DisableBit.FILTERPARENT,
     )
-    if el is not None:
+    for el in els:
       fl = el.find('flag')
       if fl is not None:
         for k, v in fl.attrib.items():
@@ -1099,6 +1118,8 @@ class MJCFCompiler:
                      if ngeom else np.zeros((0, 5)))
     m.geom_rbound = np.array(
         [_geom_rbound(T.GeomType(g['type']), g['size']) for g in b.geoms])
+    m.geom_rgba = (np.stack([g['rgba'] for g in b.geoms])
+                   if ngeom else np.zeros((0, 4)))
 
     # --- body mass properties
     self._compute_inertia(m)

@@ -11,8 +11,8 @@ from dm_control_tpu.rl import control
 
 _DOMAINS = [
     'acrobot', 'ball_in_cup', 'cartpole', 'cheetah', 'finger', 'fish',
-    'hopper', 'humanoid', 'pendulum', 'point_mass', 'reacher', 'swimmer',
-    'walker',
+    'hopper', 'humanoid', 'lqr', 'pendulum', 'point_mass', 'reacher',
+    'swimmer', 'walker',
 ]
 
 

@@ -103,6 +103,7 @@ def collision_free_init(
 def settle(m: Model, d: Data, n_steps: int) -> Data:
   """Step physics n times with zero ctrl and reset time (e.g. cheetah's
   200-step settling, suite/cheetah.py:76-80)."""
+  d = _forward.forward(m, d)  # establish the step1-synced invariant
   step = lambda d, _: (_forward.step(m, d), None)
   d, _ = jax.lax.scan(step, d, None, length=n_steps)
   return d.replace(time=jnp.zeros_like(d.time))

@@ -57,6 +57,8 @@ def test_trajectory_parity(xml, n_steps, atol):
   rd.qpos[:] = qpos
   d = engine.make_data(m)
   d = d.replace(qpos=jnp.asarray(qpos))
+  # establish the step1-synced invariant (as reset/forward do)
+  d = engine.build_forward(m)(d)
 
   ctrls = rng.uniform(-1, 1, (n_steps, ref.nu))
   max_err = 0.0
