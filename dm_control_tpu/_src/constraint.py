@@ -253,6 +253,25 @@ def _equality_rows(m: Model, d: Data, e: int, rows: Rows):
       jrow = jnp.zeros(m.nv, dtype).at[d1adr].set(1.0)
     rows.add(jrow, pos, 0.0, solref, solimp, invweight, active,
              rowtype=_solver.EQUALITY)
+  elif etype == EqType.TENDON:
+    t1, t2 = int(m.eq_obj1id[e]), int(m.eq_obj2id[e])
+    poly = jnp.asarray(data[:5], dtype)
+    l1 = d.ten_length[t1] - jnp.asarray(m.tendon_length0[t1], dtype)
+    invweight = float(m.tendon_invweight0[t1])
+    if t2 >= 0:
+      l2 = d.ten_length[t2] - jnp.asarray(m.tendon_length0[t2], dtype)
+      powers = jnp.stack([l2 ** i for i in range(5)])
+      pos = l1 - poly @ powers
+      dpoly = jnp.stack(
+          [i * l2 ** (i - 1) if i > 0 else jnp.zeros((), dtype)
+           for i in range(5)])
+      jrow = d.ten_J[t1] - (poly @ dpoly) * d.ten_J[t2]
+      invweight += float(m.tendon_invweight0[t2])
+    else:
+      pos = l1 - poly[0]
+      jrow = d.ten_J[t1]
+    rows.add(jrow, pos, 0.0, solref, solimp, invweight, active,
+             rowtype=_solver.EQUALITY)
   else:
     raise NotImplementedError(f'equality {etype}')
 

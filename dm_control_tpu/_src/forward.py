@@ -55,7 +55,7 @@ def make_data(m: Model, dtype=None) -> Data:
       qfrc_bias=z(nv), qfrc_spring=z(nv), qfrc_damper=z(nv),
       qfrc_gravcomp=z(nv), qfrc_fluid=z(nv), qfrc_passive=z(nv),
       qfrc_actuator=z(nv), qfrc_smooth=z(nv), qacc_smooth=z(nv),
-      qfrc_constraint=z(nv), qacc=z(nv),
+      qfrc_constraint=z(nv), qacc=z(nv), qacc_warmstart=z(nv),
       contact=Contact(
           dist=jnp.full((ncon,), 1e10, dtype), pos=z(ncon, 3),
           frame=z(ncon, 3, 3), includemargin=z(ncon),

@@ -18,10 +18,17 @@ import jax.numpy as jnp
 UNROLL_MAX_N = 20
 
 
+def _unroll(n: int) -> bool:
+  # Unrolled scalar linalg wins on TPU (fusion, no custom-call kernel
+  # launches) but bloats XLA:CPU programs (risking extremely large LLVM
+  # functions) and loses to LAPACK there - so it is TPU-only.
+  return n <= UNROLL_MAX_N and jax.default_backend() != 'cpu'
+
+
 def cholesky(a: jax.Array) -> jax.Array:
   """Lower-triangular Cholesky factor of (..., n, n) SPD matrices."""
   n = a.shape[-1]
-  if n > UNROLL_MAX_N:
+  if not _unroll(n):
     return jax.scipy.linalg.cholesky(a, lower=True)
   l = [[None] * n for _ in range(n)]
   for i in range(n):
@@ -44,7 +51,7 @@ def cholesky(a: jax.Array) -> jax.Array:
 def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
   """Solve A x = b given the lower Cholesky factor of A; b is (..., n)."""
   n = l.shape[-1]
-  if n > UNROLL_MAX_N:
+  if not _unroll(n):
     return jax.scipy.linalg.cho_solve((l, True), b)
   # forward substitution: L y = b
   y = [None] * n

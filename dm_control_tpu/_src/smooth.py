@@ -52,8 +52,8 @@ def kinematics(m: Model, d: Data) -> Data:
   xquat = [jnp.array([1.0, 0, 0, 0], dtype)]
   xmat = [jnp.eye(3, dtype=dtype)]
 
-  body_pos = jnp.asarray(m.body_pos, dtype)
-  body_quat = jnp.asarray(m.body_quat, dtype)
+  body_pos = mparam(m, d, 'body_pos')
+  body_quat = mparam(m, d, 'body_quat')
   jnt_pos = jnp.asarray(m.jnt_pos, dtype)
   jnt_axis = jnp.asarray(m.jnt_axis, dtype)
 

@@ -83,6 +83,7 @@ def solve(m: Model, d: Data) -> Data:
   if (nefc == 0 or m.nv == 0
       or m.opt.disableflags & DisableBit.CONSTRAINT):
     return d.replace(qacc=d.qacc_smooth,
+                     qacc_warmstart=d.qacc_smooth,
                      qfrc_constraint=jnp.zeros(m.nv, dtype))
 
   types = jnp.asarray(row_types(m))
@@ -106,7 +107,8 @@ def solve(m: Model, d: Data) -> Data:
   # Unroll for small problems (fusion-friendly, low kernel-launch count);
   # large models (humanoid-scale nefc*nv) would blow up XLA program size,
   # so they run the same body under fori_loop instead.
-  unroll = nefc * m.nv * niter <= 20_000
+  unroll = (nefc * m.nv * niter <= 20_000
+            and jax.default_backend() != 'cpu')
   eye_reg = 1e-12 * jnp.eye(m.nv, dtype=dtype)
 
   def constraint_cost(jar):
@@ -125,11 +127,13 @@ def solve(m: Model, d: Data) -> Data:
     gma = delta @ (M @ (x - a))
 
     def dphi_ddphi(alpha, jar=jar, djar=djar, gma=gma, dmd=dmd):
-      jar_a = jar + alpha * djar
+      # alpha may be scalar or (k,): jar_a broadcasts to (k, nefc)
+      jar_a = jar + alpha[..., None] * djar
       f_a = _forces(jar_a, d_, fl, types, active)
       qa_a = _quad_active(jar_a, d_, fl, types, active)
       dp = gma + alpha * dmd - f_a @ djar
-      ddp = dmd + jnp.sum(jnp.where(qa_a, d_, 0.0) * djar * djar)
+      ddp = dmd + jnp.sum(
+          jnp.where(qa_a, d_, 0.0) * djar * djar, axis=-1)
       return dp, ddp
 
     # guarded Newton on phi' starting at the full step
@@ -137,7 +141,7 @@ def solve(m: Model, d: Data) -> Data:
     lo = jnp.zeros((), dtype)
     hi = jnp.asarray(4.0, dtype)
     for _ in range(ls_iter):
-      dp, ddp = dphi_ddphi(alpha)
+      dp, ddp = dphi_ddphi(jnp.asarray(alpha, dtype))
       lo = jnp.where(dp < 0, jnp.maximum(lo, alpha), lo)
       hi = jnp.where(dp > 0, jnp.minimum(hi, alpha), hi)
       alpha_n = alpha - dp / jnp.maximum(ddp, 1e-14)
@@ -153,6 +157,10 @@ def solve(m: Model, d: Data) -> Data:
     jar = jnp.where(improved, jar_new, jar)
     return x, jar
 
+  # Start from qacc_smooth.  (The reference warmstarts from the previous
+  # solution; since both solvers converge to the unique optimum of the
+  # strictly convex problem, the start point does not affect parity, and
+  # skipping the warmstart cost comparison is faster on TPU.)
   x = a
   jar = J @ x - aref
   if unroll:
@@ -166,4 +174,4 @@ def solve(m: Model, d: Data) -> Data:
   force = _forces(jar, d_, fl, types, active)
   qfrc_constraint = J.T @ force
   return d.replace(qacc=x, qfrc_constraint=qfrc_constraint,
-                   efc_force=force)
+                   efc_force=force, qacc_warmstart=x)

@@ -523,6 +523,7 @@ class Data:
   qacc_smooth: jax.Array    # (nv,)
   qfrc_constraint: jax.Array  # (nv,)
   qacc: jax.Array           # (nv,)
+  qacc_warmstart: jax.Array  # (nv,) previous solution (solver warmstart)
 
   # constraints (fixed-size padded rows) -----------------------------------
   contact: Contact          # ncon-padded contact set
