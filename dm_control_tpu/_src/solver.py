@@ -86,30 +86,68 @@ def solve(m: Model, d: Data) -> Data:
                      qacc_warmstart=d.qacc_smooth,
                      qfrc_constraint=jnp.zeros(m.nv, dtype))
 
-  types = jnp.asarray(row_types(m))
-  active = d.efc_active
-  J = d.efc_J
-  aref = d.efc_aref
-  d_ = d.efc_D
-  fl = d.efc_frictionloss
-  a = d.qacc_smooth
-  M = d.qM
+  types_np = row_types(m)
+  niter = min(int(m.opt.iterations), 10)
+  core = _get_core(nefc, m.nv, niter, 8, types_np.tobytes())
+  x, force = core(d.efc_J, d.qM, d.efc_aref, d.efc_D,
+                  d.efc_frictionloss, d.efc_active.astype(dtype),
+                  d.qacc_smooth)
+  qfrc_constraint = d.efc_J.T @ force
+  return d.replace(qacc=x, qfrc_constraint=qfrc_constraint,
+                   efc_force=force, qacc_warmstart=x)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _get_core(nefc, nv, niter, ls_iter, types_bytes):
+  """Per-layout solver core: XLA loop for single env; when vmapped on
+  TPU, dispatches the whole batch to the Pallas VMEM-resident kernel."""
+  types_np = np.frombuffer(types_bytes, dtype=np.int32)
+
+  def xla_core(J, M, aref, d_, fl, active, a):
+    return _solve_core_xla(J, M, aref, d_, fl, active, a,
+                           types_np=types_np, niter=niter,
+                           ls_iter=ls_iter)
+
+  @jax.custom_batching.custom_vmap
+  def core(J, M, aref, d_, fl, active, a):
+    return xla_core(J, M, aref, d_, fl, active, a)
+
+  @core.def_vmap
+  def _rule(axis_size, in_batched, J, M, aref, d_, fl, active, a):
+    args = [J, M, aref, d_, fl, active, a]
+    # broadcast any unbatched operand
+    for i, (arg, batched) in enumerate(zip(args, in_batched)):
+      if not batched:
+        args[i] = jnp.broadcast_to(arg[None], (axis_size,) + arg.shape)
+    J, M, aref, d_, fl, active, a = args
+    if jax.default_backend() == 'tpu' and nv <= 24:
+      from dm_control_tpu.ops import newton_kernel
+      x, force = newton_kernel.newton_solve_batched(
+          J, M, aref, d_, fl, active, a, types_np, niter, ls_iter)
+    else:
+      x, force = jax.vmap(xla_core)(J, M, aref, d_, fl, active, a)
+    return (x, force), (True, True)
+
+  return core
+
+
+def _solve_core_xla(J, M, aref, d_, fl, active, a, *, types_np, niter,
+                    ls_iter):
+  """Single-env projected Newton (XLA ops)."""
+  dtype = a.dtype
+  nefc, nv = J.shape
+  types = jnp.asarray(types_np)
 
   # Few Newton iterations with a shallow piecewise-quadratic line search:
   # phi'(alpha) is piecewise linear increasing, so guarded Newton-on-phi'
-  # converges in a handful of evaluations.  The loop is UNROLLED (python
-  # range) and all matrix solves use the fused small-matrix path in
-  # linalg.py: on TPU the solver cost is dominated by kernel-launch
-  # latency, so everything is written to fuse into few large kernels.
+  # converges in a handful of evaluations.
   from dm_control_tpu._src import linalg
-  niter = min(int(m.opt.iterations), 10)
-  ls_iter = 8
-  # Unroll for small problems (fusion-friendly, low kernel-launch count);
-  # large models (humanoid-scale nefc*nv) would blow up XLA program size,
-  # so they run the same body under fori_loop instead.
-  unroll = (nefc * m.nv * niter <= 20_000
+  unroll = (nefc * nv * niter <= 20_000
             and jax.default_backend() != 'cpu')
-  eye_reg = 1e-12 * jnp.eye(m.nv, dtype=dtype)
+  eye_reg = 1e-12 * jnp.eye(nv, dtype=dtype)
 
   def constraint_cost(jar):
     return _cost(jar, d_, fl, types, active)
@@ -172,6 +210,4 @@ def solve(m: Model, d: Data) -> Data:
 
   jar = J @ x - aref
   force = _forces(jar, d_, fl, types, active)
-  qfrc_constraint = J.T @ force
-  return d.replace(qacc=x, qfrc_constraint=qfrc_constraint,
-                   efc_force=force, qacc_warmstart=x)
+  return x, force

@@ -27,6 +27,7 @@ def linearize(task: TaskDef):
   def step_map(state, u):
     d = _forward.make_data(m)
     d = d.replace(qpos=state[:nq], qvel=state[nq:], ctrl=u)
+    d = _forward.forward(m, d)  # establish the step1-synced invariant
     for _ in range(task.n_sub_steps()):
       d = _forward.step(m, d)
     return jnp.concatenate([d.qpos, d.qvel])

@@ -23,3 +23,24 @@ jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
 SUITE_DIR = '/root/reference/dm_control/suite'
+
+
+def _rss_gb() -> float:
+  try:
+    with open('/proc/self/statm') as f:
+      pages = int(f.read().split()[1])
+    return pages * 4096 / 1e9
+  except Exception:
+    return 0.0
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _bound_jax_compile_cache():
+  """XLA:CPU segfaults after accumulating many large float64 executables
+  in one process; clearing jax caches when RSS grows bounds that state."""
+  yield
+  if _rss_gb() > 12.0:
+    jax.clear_caches()

@@ -179,3 +179,34 @@ def test_inverse_kinematics_reaches_target():
   res = ik.qpos_from_site_pose(m, d, 'tip', target_pos=target,
                                max_steps=150)
   assert float(res.err_norm) < 1e-3, f'IK err {res.err_norm}'
+
+
+def test_profiling_wrapper_and_metrics():
+  from dm_control_tpu.parallel.metrics import Meter
+  env = suite.load('pendulum', 'swingup', task_kwargs={'random': 0})
+  wrapped = wrappers.ProfilingWrapper(env)
+  ts = wrapped.reset()
+  ts = wrapped.step(np.zeros(1))
+  assert ts.observation['step_timing'][1] == 1.0
+  assert ts.observation['step_timing'][0] > 0.0
+
+  meter = Meter(batch_size=4)
+  meter.update(done=np.array([1, 0, 0, 1]), reward=np.ones(4))
+  snap = meter.snapshot()
+  assert snap['episodes'] == 2
+  assert snap['env_steps'] == 4
+
+
+def test_divergence_flag_and_auto_reset():
+  """NaN control must set `diverged`; batched runner then resets the lane
+  with discount 0 (reference PhysicsError semantics, engine.py:312-335)."""
+  import jax.numpy as jnp
+  task = suite.build_task('pendulum', 'swingup')
+  env = BatchedEnv(task, 2, auto_reset=True)
+  state = env.reset(jax.random.PRNGKey(0))
+  actions = jnp.array([[np.nan], [0.0]])
+  state, (obs, reward, done, discount) = env.step(state, actions)
+  assert bool(done[0]) and not bool(done[1])
+  assert float(discount[0]) == 0.0 and float(discount[1]) == 1.0
+  # lane 0 was re-initialized to a finite state
+  assert np.isfinite(np.asarray(state.data.qpos[0])).all()
