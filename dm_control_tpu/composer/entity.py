@@ -1,0 +1,104 @@
+"""Build-time entities: MJCF fragments with observables and pure hooks.
+
+Functional replacement for dm_control.composer.Entity
+(composer/entity.py:199-594): an Entity owns an XML fragment and
+`attach()` grafts a child fragment under a parent body with full name
+prefixing (the job of PyMJCF attachment frames,
+dm_control/mjcf/element.py:903-1046 + namescope.py).  All composition
+happens before compilation, so the resulting Model is static.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from typing import Callable, Dict, List, Optional
+import xml.etree.ElementTree as ET
+
+from dm_control_tpu.composer.observation import ObservableSpec
+
+# attributes that reference names of other elements (must be re-prefixed)
+_NAME_REF_ATTRS = (
+    'joint', 'site', 'geom', 'body', 'tendon', 'actuator', 'class',
+    'childclass', 'material', 'target', 'body1', 'body2', 'geom1', 'geom2',
+    'joint1', 'joint2', 'tendon1', 'tendon2', 'objname', 'refname',
+    'mesh', 'hfield',
+)
+
+_SECTIONS = ('default', 'asset', 'tendon', 'actuator', 'sensor',
+             'equality', 'contact', 'keyframe')
+
+
+@dataclasses.dataclass
+class Entity:
+  """An attachable model fragment.
+
+  mjcf_root: a <mujoco> element whose worldbody holds the fragment.
+  observables: name -> ObservableSpec factory taking the final prefix
+    (so index lookups can resolve prefixed names after compilation).
+  """
+  mjcf_root: ET.Element
+  name: str = 'entity'
+  observables: Dict[str, Callable] = dataclasses.field(default_factory=dict)
+  init_hook: Optional[Callable] = None    # (model, data, key, prefix)->Data
+
+  @classmethod
+  def from_xml_string(cls, xml: str, name: str = 'entity', **kw):
+    return cls(mjcf_root=ET.fromstring(xml), name=name, **kw)
+
+  @classmethod
+  def from_xml_path(cls, path: str, name: str = 'entity', **kw):
+    from dm_control_tpu.mjcf.compiler import _load_xml
+    return cls(mjcf_root=_load_xml(path), name=name, **kw)
+
+  def prefixed(self, prefix: str) -> ET.Element:
+    """Deep copy of the fragment with all names prefixed 'prefix/name'
+    (the reference's namescope full_identifier convention)."""
+    root = copy.deepcopy(self.mjcf_root)
+    local_names = set()
+    for el in root.iter():
+      if 'name' in el.attrib:
+        local_names.add(el.attrib['name'])
+    for el in root.iter():
+      if 'name' in el.attrib:
+        el.attrib['name'] = f'{prefix}/{el.attrib["name"]}'
+      for attr in _NAME_REF_ATTRS:
+        if attr in el.attrib and el.attrib[attr] in local_names:
+          el.attrib[attr] = f'{prefix}/{el.attrib[attr]}'
+    return root
+
+
+def attach(parent_root: ET.Element, child: Entity,
+           prefix: Optional[str] = None,
+           site_body: Optional[str] = None,
+           pos: Optional[str] = None) -> ET.Element:
+  """Graft `child`'s worldbody under a body of `parent_root` (or its
+  worldbody), merging the non-body sections; returns parent_root."""
+  prefix = prefix or child.name
+  croot = child.prefixed(prefix)
+
+  pworld = parent_root.find('worldbody')
+  target = pworld
+  if site_body is not None:
+    for el in pworld.iter('body'):
+      if el.attrib.get('name') == site_body:
+        target = el
+        break
+    else:
+      raise ValueError(f'no body named {site_body!r} in parent')
+
+  cworld = croot.find('worldbody')
+  if cworld is not None:
+    for el in list(cworld):
+      if pos is not None and el.tag == 'body':
+        el.set('pos', pos)
+      target.append(el)
+
+  for section in _SECTIONS:
+    for csec in croot.findall(section):
+      psec = parent_root.find(section)
+      if psec is None:
+        psec = ET.SubElement(parent_root, section)
+      for el in list(csec):
+        psec.append(el)
+  return parent_root

@@ -1,0 +1,137 @@
+"""Composer environment: episode loop with the in-graph observation
+pipeline (reference composer/environment.py:271-403, hook dispatch +
+between-substep observation updates)."""
+
+from __future__ import annotations
+
+import collections
+from typing import Optional
+
+import dm_env
+from dm_env import specs
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dm_control_tpu._src import engine as _engine
+from dm_control_tpu._src import forward as _forward
+from dm_control_tpu.composer.observation import ObservationPipeline
+from dm_control_tpu.composer.task import ComposerTask
+
+
+class Environment(dm_env.Environment):
+  """dm_env loop over a ComposerTask with buffered observables.
+
+  Between every physics substep the observation pipeline is advanced
+  (reference composer/environment.py:363-373); observations are read from
+  the delay buffers at control-step boundaries."""
+
+  def __init__(self, task: ComposerTask, time_limit: float = float('inf'),
+               random: Optional[int] = None):
+    self._task = task
+    m = task.compile()
+    self._model = m
+    dt = m.opt.timestep
+    ct = task.control_timestep or dt
+    self._n_sub_steps = max(1, int(round(ct / dt)))
+    self._time_limit = time_limit
+    self._step_limit = (float('inf') if time_limit == float('inf')
+                        else time_limit / (dt * self._n_sub_steps))
+    self._step_count = 0
+    self._episode_count = 0
+    seed = 0 if random is None else int(random)
+    self._base_key = jax.random.PRNGKey(seed)
+
+    example = _forward.forward(m, _forward.make_data(m))
+    self._pipeline = ObservationPipeline(m, task.observables, example)
+
+    step_fn = _engine.build_step(m)
+    n_sub = self._n_sub_steps
+    pipeline = self._pipeline
+
+    def control_step(carry, action):
+      d, obs_state, substep, key = carry
+      d = d.replace(ctrl=action)
+      for _ in range(n_sub):
+        d = step_fn(d)
+        key, sub = jax.random.split(key)
+        obs_state = pipeline.update(obs_state, d, substep, sub)
+        substep = substep + 1
+      reward = task.get_reward(m, d)
+      obs = pipeline.read(obs_state, substep)
+      return (d, obs_state, substep, key), (obs, reward)
+
+    self._control_step = jax.jit(control_step)
+
+    def reset_fn(key):
+      d = _forward.make_data(m)
+      d = task.init_episode(m, d, key)
+      d = _forward.forward(m, d)
+      obs_state = pipeline.init_state()
+      substep = jnp.zeros((), jnp.int32)
+      obs_state = pipeline.update(obs_state, d, substep, key)
+      obs = pipeline.read(obs_state, substep)
+      return d, obs_state, obs
+
+    self._reset_fn = jax.jit(reset_fn)
+    self._carry = None
+
+  def reset(self):
+    key = jax.random.fold_in(self._base_key, self._episode_count)
+    self._episode_count += 1
+    self._step_count = 0
+    d, obs_state, obs = self._reset_fn(key)
+    self._carry = (d, obs_state, jnp.ones((), jnp.int32),
+                   jax.random.fold_in(key, 123))
+    return dm_env.TimeStep(
+        dm_env.StepType.FIRST, None, None, self._np_obs(obs))
+
+  def step(self, action):
+    if self._carry is None:
+      return self.reset()
+    d0 = self._carry[0]
+    action = jnp.asarray(action, d0.ctrl.dtype)
+    self._carry, (obs, reward) = self._control_step(self._carry, action)
+    self._step_count += 1
+    d = self._carry[0]
+    reward = float(reward)
+    term = self._task.get_termination(self._model, d)
+    done_discount = None
+    if term is not None and bool(term):
+      done_discount = 0.0
+    if bool(d.diverged):
+      done_discount = 0.0
+    if done_discount is not None:
+      self._carry = None
+      return dm_env.TimeStep(dm_env.StepType.LAST, reward, done_discount,
+                             self._np_obs(obs))
+    if self._step_count >= self._step_limit:
+      self._carry = None
+      return dm_env.TimeStep(dm_env.StepType.LAST, reward, 1.0,
+                             self._np_obs(obs))
+    return dm_env.TimeStep(dm_env.StepType.MID, reward, 1.0,
+                           self._np_obs(obs))
+
+  def _np_obs(self, obs):
+    return collections.OrderedDict(
+        (k, np.asarray(v)) for k, v in obs.items())
+
+  def action_spec(self):
+    from dm_control_tpu.rl.control import action_spec
+    return action_spec(self._model)
+
+  def observation_spec(self):
+    key = jax.random.PRNGKey(0)
+    _, _, obs = self._reset_fn(key)
+    return collections.OrderedDict(
+        (k, specs.Array(shape=np.shape(v), dtype=np.asarray(v).dtype,
+                        name=k))
+        for k, v in obs.items())
+
+  @property
+  def physics(self):
+    return self._carry[0] if self._carry is not None else None
+
+  @property
+  def task(self):
+    return self._task
