@@ -42,5 +42,15 @@ def _bound_jax_compile_cache():
   """XLA:CPU segfaults after accumulating many large float64 executables
   in one process; clearing jax caches when RSS grows bounds that state."""
   yield
-  if _rss_gb() > 12.0:
+  if _rss_gb() > 6.0:
+    jax.clear_caches()
+
+
+_HEAVY = ('manipulator', 'humanoid')
+
+
+def pytest_runtest_setup(item):
+  # the largest models are the ones that tip XLA:CPU over; start them
+  # from a clean compile cache
+  if any(h in item.name for h in _HEAVY):
     jax.clear_caches()
