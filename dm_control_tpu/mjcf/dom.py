@@ -1,0 +1,117 @@
+"""PyMJCF-like authoring API: build/edit models in Python, then compile.
+
+A deliberately small functional analog of dm_control.mjcf's element DOM
+(reference mjcf/element.py:108-1336): elements support `add`, attribute
+get/set, `find`/`find_all`, `attach` with namescope prefixing, and
+`to_xml_string`; `compile()` produces the engine's static Model.  Unlike
+the reference there is no bind()-style live physics coupling - models are
+immutable after compilation (per-episode variation uses Data.model_var).
+
+Example:
+  root = RootElement(model='arena')
+  root.worldbody.add('geom', type='plane', size='5 5 .1', name='floor')
+  body = root.worldbody.add('body', name='box', pos='0 0 1')
+  body.add('freejoint')
+  body.add('geom', type='box', size='.1 .1 .1', name='geom0', mass='1')
+  model = root.compile()
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+import xml.etree.ElementTree as ET
+
+from dm_control_tpu._src import setconst
+from dm_control_tpu.mjcf import compiler as _compiler
+
+
+class Element:
+  """Thin mutable wrapper over an ElementTree node."""
+
+  def __init__(self, el: ET.Element):
+    self._el = el
+
+  @property
+  def tag(self) -> str:
+    return self._el.tag
+
+  def add(self, tag: str, **attrs) -> 'Element':
+    child = ET.SubElement(self._el, tag,
+                          {k: str(v) for k, v in attrs.items()})
+    return Element(child)
+
+  def get(self, attr: str, default=None):
+    return self._el.attrib.get(attr, default)
+
+  def set(self, attr: str, value) -> 'Element':
+    self._el.set(attr, str(value))
+    return self
+
+  def remove(self, child: 'Element'):
+    self._el.remove(child._el)
+
+  def find(self, tag: str, name: Optional[str] = None) -> Optional['Element']:
+    for el in self._el.iter(tag):
+      if name is None or el.attrib.get('name') == name:
+        return Element(el)
+    return None
+
+  def find_all(self, tag: str) -> List['Element']:
+    return [Element(el) for el in self._el.iter(tag)]
+
+  @property
+  def children(self) -> List['Element']:
+    return [Element(el) for el in list(self._el)]
+
+  def to_xml_string(self) -> str:
+    return ET.tostring(self._el, encoding='unicode')
+
+
+class RootElement(Element):
+  """A <mujoco> document root."""
+
+  def __init__(self, model: str = 'unnamed'):
+    root = ET.Element('mujoco', dict(model=model))
+    ET.SubElement(root, 'worldbody')
+    super().__init__(root)
+
+  @classmethod
+  def from_xml_string(cls, xml: str) -> 'RootElement':
+    obj = cls.__new__(cls)
+    Element.__init__(obj, ET.fromstring(xml))
+    return obj
+
+  @classmethod
+  def from_xml_path(cls, path: str) -> 'RootElement':
+    obj = cls.__new__(cls)
+    Element.__init__(obj, _compiler._load_xml(path))
+    return obj
+
+  @property
+  def worldbody(self) -> Element:
+    wb = self._el.find('worldbody')
+    if wb is None:
+      wb = ET.SubElement(self._el, 'worldbody')
+    return Element(wb)
+
+  def section(self, tag: str) -> Element:
+    """Get-or-create a top-level section (actuator, sensor, ...)."""
+    sec = self._el.find(tag)
+    if sec is None:
+      sec = ET.SubElement(self._el, tag)
+    return Element(sec)
+
+  def attach(self, other: 'RootElement', prefix: str,
+             site_body: Optional[str] = None,
+             pos: Optional[str] = None) -> 'RootElement':
+    """Graft another document under this one with name prefixing
+    (the reference's attachment-frame semantics, mjcf/element.py:903)."""
+    from dm_control_tpu.composer.entity import Entity, attach as _attach
+    _attach(self._el, Entity(mjcf_root=other._el, name=prefix),
+            prefix=prefix, site_body=site_body, pos=pos)
+    return self
+
+  def compile(self):
+    """Compile to the engine's static Model."""
+    m = _compiler.MJCFCompiler(self._el).build()
+    return setconst.set_const(m)
