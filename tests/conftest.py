@@ -39,18 +39,10 @@ import pytest  # noqa: E402
 
 @pytest.fixture(autouse=True)
 def _bound_jax_compile_cache():
-  """XLA:CPU segfaults after accumulating many large float64 executables
-  in one process; clearing jax caches when RSS grows bounds that state."""
+  """XLA:CPU can fault after accumulating very many large float64
+  executables in one process; clearing jax caches when RSS grows keeps
+  per-process compile state bounded (tests are also spread across xdist
+  workers per-file for the same reason)."""
   yield
-  if _rss_gb() > 6.0:
-    jax.clear_caches()
-
-
-_HEAVY = ('manipulator', 'humanoid')
-
-
-def pytest_runtest_setup(item):
-  # the largest models are the ones that tip XLA:CPU over; start them
-  # from a clean compile cache
-  if any(h in item.name for h in _HEAVY):
+  if _rss_gb() > 20.0:
     jax.clear_caches()
