@@ -250,6 +250,50 @@ def _sphere_box(s_pos, s_mat, s_size, b_pos, b_mat, b_size):
   return dist[..., None], pos[..., None, :], n[..., None, :]
 
 
+def _sphere_ellipsoid(s_pos, s_mat, s_size, e_pos, e_mat, e_size):
+  """Sphere vs ellipsoid via radial surface projection (approximate
+  closest point; exact for spheres, good for mildly eccentric bodies)."""
+  r_s = s_size[..., 0]
+  local = jnp.einsum('...ij,...i->...j', e_mat, s_pos - e_pos)
+  u = local / e_size
+  un = math.norm_safe(u)
+  surf_l = e_size * (u / jnp.maximum(un, 1e-12)[..., None])
+  # gradient of the ellipsoid implicit function = outward normal
+  n_l = math.normalize(surf_l / (e_size * e_size))
+  inside = un < 1.0
+  diff = local - surf_l
+  d_out = math.norm_safe(diff)
+  dist = jnp.where(inside, -d_out, d_out) - r_s
+  n = jnp.einsum('...ij,...j->...i', e_mat, -n_l)  # sphere -> ellipsoid
+  surf = e_pos + jnp.einsum('...ij,...j->...i', e_mat, surf_l)
+  pos = (surf + s_pos + n * r_s[..., None]) / 2
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _capsule_ellipsoid(c_pos, c_mat, c_size, e_pos, e_mat, e_size):
+  """Capsule vs ellipsoid: sphere-ellipsoid at the closest segment point."""
+  axis = c_mat[..., :, 2]
+  hl = c_size[..., 1:2]
+  a = c_pos - hl * axis
+  b = c_pos + hl * axis
+  closest = math.closest_segment_point(a, b, e_pos)
+  return _sphere_ellipsoid(closest, c_mat, c_size, e_pos, e_mat, e_size)
+
+
+def _ellipsoid_ellipsoid(pos1, mat1, size1, pos2, mat2, size2):
+  """Ellipsoid pair via directional effective radii (approximate)."""
+  vec = pos2 - pos1
+  n = math.normalize(vec)
+  # effective radius of each ellipsoid along the center line
+  d1 = jnp.einsum('...ij,...i->...j', mat1, n)
+  d2 = jnp.einsum('...ij,...i->...j', mat2, n)
+  r1 = 1.0 / jnp.maximum(math.norm_safe(d1 / size1), 1e-12)
+  r2 = 1.0 / jnp.maximum(math.norm_safe(d2 / size2), 1e-12)
+  dist = math.norm_safe(vec) - r1 - r2
+  pos = pos1 + n * (r1 + dist / 2)[..., None]
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
 def _sphere_cylinder(s_pos, s_mat, s_size, c_pos, c_mat, c_size):
   """Sphere vs solid cylinder: side, cap, and rim cases, branch-free."""
   r_s = s_size[..., 0]
@@ -325,6 +369,27 @@ def _capsule_box(c_pos, c_mat, c_size, b_pos, b_mat, b_size):
   return dists, poss, ns
 
 
+def _box_box(pos1, mat1, size1, pos2, mat2, size2):
+  """Box-box via corner-vs-box tests (8 corners of box1 against box2).
+
+  Covers the face-dominant contacts that matter for resting/stacking;
+  edge-edge configurations are approximated by the nearest corners."""
+  outs = []
+  zero_r = jnp.zeros_like(size1)
+  for sx in (-1.0, 1.0):
+    for sy in (-1.0, 1.0):
+      for sz in (-1.0, 1.0):
+        corner_l = jnp.stack(
+            [sx * size1[..., 0], sy * size1[..., 1], sz * size1[..., 2]],
+            -1)
+        corner = pos1 + jnp.einsum('...ij,...j->...i', mat1, corner_l)
+        d, p, n = _sphere_box(corner, mat1, zero_r, pos2, mat2, size2)
+        outs.append((d, p, n))
+  return (jnp.concatenate([o[0] for o in outs], -1),
+          jnp.concatenate([o[1] for o in outs], -2),
+          jnp.concatenate([o[2] for o in outs], -2))
+
+
 _COLLIDERS = {
     (GeomType.PLANE, GeomType.SPHERE): _plane_sphere,
     (GeomType.PLANE, GeomType.CAPSULE): _plane_capsule,
@@ -334,10 +399,14 @@ _COLLIDERS = {
     (GeomType.SPHERE, GeomType.SPHERE): _sphere_sphere,
     (GeomType.SPHERE, GeomType.CAPSULE): _sphere_capsule,
     (GeomType.SPHERE, GeomType.CYLINDER): _sphere_cylinder,
+    (GeomType.SPHERE, GeomType.ELLIPSOID): _sphere_ellipsoid,
     (GeomType.SPHERE, GeomType.BOX): _sphere_box,
+    (GeomType.CAPSULE, GeomType.ELLIPSOID): _capsule_ellipsoid,
+    (GeomType.ELLIPSOID, GeomType.ELLIPSOID): _ellipsoid_ellipsoid,
     (GeomType.CAPSULE, GeomType.CAPSULE): _capsule_capsule,
     (GeomType.CAPSULE, GeomType.CYLINDER): _capsule_cylinder,
     (GeomType.CAPSULE, GeomType.BOX): _capsule_box,
+    (GeomType.BOX, GeomType.BOX): _box_box,
     # cylinder-cylinder: capsule approximation of geom1's axis against the
     # exact cylinder geom2 (adequate for the suite's rare cyl-cyl pairs)
     (GeomType.CYLINDER, GeomType.CYLINDER): _capsule_cylinder,

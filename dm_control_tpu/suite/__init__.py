@@ -11,8 +11,8 @@ from dm_control_tpu.rl import control
 
 _DOMAINS = [
     'acrobot', 'ball_in_cup', 'cartpole', 'cheetah', 'finger', 'fish',
-    'hopper', 'humanoid', 'lqr', 'manipulator', 'pendulum',
-    'point_mass', 'reacher',
+    'hopper', 'humanoid', 'humanoid_CMU', 'lqr', 'manipulator',
+    'pendulum', 'point_mass', 'reacher', 'stacker',
     'swimmer', 'walker',
 ]
 

@@ -1,0 +1,96 @@
+"""CMU humanoid domain, 56-DoF (reference: dm_control/suite/humanoid_CMU.py)."""
+
+from __future__ import annotations
+
+import collections
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dm_control_tpu._src import engine
+from dm_control_tpu.rl import control
+from dm_control_tpu.suite import base
+from dm_control_tpu.suite import common
+from dm_control_tpu.utils import containers
+from dm_control_tpu.utils import rewards
+
+_DEFAULT_TIME_LIMIT = 20
+_CONTROL_TIMESTEP = .02
+_STAND_HEIGHT = 1.4
+_RUN_SPEED = 10
+SUITE = containers.TaggedTasks()
+
+
+@functools.lru_cache(maxsize=1)
+def _model():
+  return engine.load_model(common.model_path('humanoid_CMU.xml'))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_task(move_speed: float):
+  m = _model()
+  thorax = m.name2id('body', 'thorax')
+  head = m.name2id('body', 'head')
+  limbs = [m.name2id('body', s + l)
+           for s in ('l', 'r') for l in ('hand', 'foot')]
+  s = m.name2id('sensor', 'thorax_subtreelinvel')
+  sl_com = slice(int(m.sensor_adr[s]), int(m.sensor_adr[s]) + 3)
+
+  def init_episode(m_, d, key):
+    def sample(d_, k):
+      qpos = base.randomize_limited_and_rotational_joints(m_, d_.qpos, k)
+      return d_.replace(qpos=qpos)
+    return base.collision_free_init(sample, m_, d, key, max_attempts=20)
+
+  def get_observation(m_, d):
+    obs = collections.OrderedDict()
+    obs['joint_angles'] = d.qpos[7:]
+    obs['head_height'] = d.xpos[head, 2]
+    torso_frame = d.xmat[thorax]
+    torso_pos = d.xpos[thorax]
+    obs['extremities'] = jnp.concatenate(
+        [(d.xpos[b] - torso_pos) @ torso_frame for b in limbs])
+    obs['torso_vertical'] = d.xmat[thorax, 2, :]
+    obs['com_velocity'] = d.sensordata[sl_com]
+    obs['velocity'] = d.qvel
+    return obs
+
+  def get_reward(m_, d):
+    standing = rewards.tolerance(
+        d.xpos[head, 2], bounds=(_STAND_HEIGHT, float('inf')),
+        margin=_STAND_HEIGHT / 4)
+    upright = rewards.tolerance(
+        d.xmat[thorax, 2, 1], bounds=(0.9, float('inf')),
+        sigmoid='linear', margin=1.9, value_at_margin=0)
+    stand_reward = standing * upright
+    small_control = jnp.mean(rewards.tolerance(
+        d.ctrl, margin=1, value_at_margin=0, sigmoid='quadratic'))
+    small_control = (4 + small_control) / 5
+    com_v = d.sensordata[sl_com]
+    if move_speed == 0:
+      dont_move = jnp.mean(rewards.tolerance(com_v[:2], margin=2))
+      return small_control * stand_reward * dont_move
+    move = rewards.tolerance(
+        jnp.linalg.norm(com_v[:2]), bounds=(move_speed, float('inf')),
+        margin=move_speed, value_at_margin=0, sigmoid='linear')
+    move = (5 * move + 1) / 6
+    return small_control * stand_reward * move
+
+  return control.TaskDef(
+      name='humanoid_CMU', model=m, init_episode=init_episode,
+      get_observation=get_observation, get_reward=get_reward,
+      control_timestep=_CONTROL_TIMESTEP)
+
+
+@SUITE.add()
+def stand(time_limit=_DEFAULT_TIME_LIMIT, random=None,
+          environment_kwargs=None):
+  return control.Environment(_make_task(0), time_limit=time_limit,
+                             random=random, **(environment_kwargs or {}))
+
+
+@SUITE.add()
+def run(time_limit=_DEFAULT_TIME_LIMIT, random=None, environment_kwargs=None):
+  return control.Environment(_make_task(_RUN_SPEED), time_limit=time_limit,
+                             random=random, **(environment_kwargs or {}))
