@@ -12,7 +12,7 @@ from dm_control_tpu.rl import control
 _DOMAINS = [
     'acrobot', 'ball_in_cup', 'cartpole', 'cheetah', 'finger', 'fish',
     'hopper', 'humanoid', 'humanoid_CMU', 'lqr', 'manipulator',
-    'pendulum', 'point_mass', 'reacher', 'stacker',
+    'pendulum', 'point_mass', 'quadruped', 'reacher', 'stacker',
     'swimmer', 'walker',
 ]
 
