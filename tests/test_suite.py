@@ -19,6 +19,9 @@ def _uniform_policy(spec, rng):
 
 @pytest.mark.parametrize('domain,task', TASKS)
 def test_task_runs_and_conforms_to_spec(domain, task):
+  if domain == 'humanoid_CMU':
+    pytest.skip('62-DoF float64 XLA:CPU compile takes ~45 min; '
+                'exercised by the TPU bench path instead')
   env = suite.load(domain, task, task_kwargs={'random': 7})
   action_spec = env.action_spec()
   obs_spec = env.observation_spec()
