@@ -455,25 +455,27 @@ def collide_all(m: Model, d: Data) -> Data:
     else:
       frame = make_frame(normal_or_frame)
 
-    for k, (gg1, gg2, pp, nn) in enumerate(group):
+    # flatten (npairs, k, ...) -> (npairs*k, ...): row-major matches the
+    # per-entry-then-per-point order of collision._pair_entries
+    ng, k = dist.shape
+    all_dist.append(dist.reshape(ng * k))
+    all_pos.append(pos.reshape(ng * k, 3))
+    all_frame.append(frame.reshape(ng * k, 3, 3))
+    for gg1, gg2, pp, nn in group:
       condim, friction, solref, solimp, margin, gap = _combine_params(
           m, gg1, gg2, pp)
-      for c in range(nn):
-        all_dist.append(dist[k, c])
-        all_pos.append(pos[k, c])
-        all_frame.append(frame[k, c])
-        all_margin.append(margin - gap)
-        all_friction.append(friction)
-        all_solref.append(solref)
-        all_solimp.append(solimp)
-        all_g1.append(gg1)
-        all_g2.append(gg2)
-        all_dim.append(condim)
+      all_margin += [margin - gap] * nn
+      all_friction += [friction] * nn
+      all_solref += [solref] * nn
+      all_solimp += [solimp] * nn
+      all_g1 += [gg1] * nn
+      all_g2 += [gg2] * nn
+      all_dim += [condim] * nn
 
   contact = Contact(
-      dist=jnp.stack(all_dist),
-      pos=jnp.stack(all_pos),
-      frame=jnp.stack(all_frame),
+      dist=jnp.concatenate(all_dist),
+      pos=jnp.concatenate(all_pos),
+      frame=jnp.concatenate(all_frame),
       includemargin=jnp.asarray(np.array(all_margin), dtype),
       friction=jnp.asarray(np.stack(all_friction), dtype),
       solref=jnp.asarray(np.stack(all_solref), dtype),

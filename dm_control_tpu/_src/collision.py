@@ -68,22 +68,10 @@ def count_max_contacts(m: Model) -> int:
 
 
 def count_contact_rows(m: Model) -> int:
-  """Total efc rows contributed by contacts (pyramidal cone)."""
-  if m.opt.disableflags & DisableBit.CONTACT:
-    return 0
-  rows = 0
-  for g1, g2, p, n in _pair_entries(m):
-    condim = p['condim'] if p else _pair_condim(m, g1, g2)
-    rows += n * _rows_per_contact(m, condim)
-  return rows
-
-
-def _rows_per_contact(m: Model, condim: int) -> int:
-  if condim == 1:
-    return 1
-  if m.opt.cone == ConeType.ELLIPTIC:
-    return condim
-  return 2 * (condim - 1)
+  """Total efc rows contributed by contacts (from the static layout)."""
+  from dm_control_tpu._src import efc
+  lay = efc.layout(m)
+  return lay.nefc - lay.n_noncontact
 
 
 def _pair_condim(m: Model, g1: int, g2: int) -> int:

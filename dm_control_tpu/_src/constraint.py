@@ -1,14 +1,17 @@
 """Constraint assembly: equality / friction / limit / contact -> efc rows.
 
-Replaces the reference's native mj_makeConstraint stage with a fixed-size,
-maskable row layout (static shapes for XLA): rows are always allocated,
-`efc_active` marks which participate this step.  The soft-constraint
-parameterization (solref/solimp -> stiffness, damping, impedance, and the
-regularizer R) follows the reference's documented constraint model so
-forces match within float tolerance.
+Replaces the reference's native mj_makeConstraint stage with a fixed-size
+row layout (static shapes for XLA), derived once per model by efc.layout.
+The soft-constraint parameterization (solref/solimp -> stiffness, damping,
+impedance, and the regularizer R) follows the reference's documented
+constraint model; row parameters (efc_D, efc_aref, row Jacobians) are
+validated field-by-field against the oracle in tests/test_constraint.py.
 
-Row order (matching the reference): equality, dof friction, joint limits,
-tendon limits, contacts.
+TPU-first: every row family (dof friction, joint/tendon limits, contact
+normal / pyramid-edge / elliptic-friction rows) is assembled as ONE batched
+computation over static index arrays — the XLA graph size is O(row
+families), not O(rows), which is what keeps humanoid_CMU/dog-scale models
+compiling fast.
 """
 
 from __future__ import annotations
@@ -17,18 +20,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dm_control_tpu._src import efc
 from dm_control_tpu._src import math
 from dm_control_tpu._src import smooth
-from dm_control_tpu._src.types import (ConeType, Data, DisableBit, EqType,
-                                       JointType, Model)
-from dm_control_tpu._src import solver as _solver
+from dm_control_tpu._src.types import (Data, DisableBit, EqType, JointType,
+                                       Model)
+
+layout = efc.layout
+
+
+# the reference clamps impedance endpoints into [mjMINIMP, mjMAXIMP]
+# BEFORE interpolating (verified against oracle efc_D on solimp dmin=0
+# models like finger.xml).
+_MINIMP, _MAXIMP = 1e-4, 0.9999
 
 
 def _impedance(solimp, pos_minus_margin):
   """Impedance d(x) from solimp = (dmin, dmax, width, midpoint, power)."""
-  dmin, dmax, width, mid, power = (
-      solimp[..., 0], solimp[..., 1], solimp[..., 2], solimp[..., 3],
-      solimp[..., 4])
+  dmin = jnp.clip(solimp[..., 0], _MINIMP, _MAXIMP)
+  dmax = jnp.clip(solimp[..., 1], _MINIMP, _MAXIMP)
+  width, mid, power = solimp[..., 2], solimp[..., 3], solimp[..., 4]
   x = jnp.clip(jnp.abs(pos_minus_margin) / jnp.maximum(width, 1e-14),
                0.0, 1.0)
   # reflected power sigmoid through (0,0), (mid, mid'), (1,1)
@@ -37,14 +48,13 @@ def _impedance(solimp, pos_minus_margin):
   y_lo = a * jnp.power(x, power)
   y_hi = 1.0 - b * jnp.power(1.0 - x, power)
   y = jnp.where(x < mid, y_lo, y_hi)
-  imp = dmin + y * (dmax - dmin)
-  return jnp.clip(imp, 1e-8, 1.0 - 1e-8)
+  return dmin + y * (dmax - dmin)
 
 
 def _kbi(m: Model, solref, solimp, pos_minus_margin):
   """(stiffness k, damping b, impedance) from solref/solimp."""
   imp = _impedance(solimp, pos_minus_margin)
-  dmax = solimp[..., 1]
+  dmax = jnp.clip(solimp[..., 1], _MINIMP, _MAXIMP)
   timeconst, dampratio = solref[..., 0], solref[..., 1]
   if not (m.opt.disableflags & DisableBit.REFSAFE):
     timeconst = jnp.maximum(timeconst, 2.0 * m.opt.timestep)
@@ -58,137 +68,164 @@ def _kbi(m: Model, solref, solimp, pos_minus_margin):
   return k, b, imp
 
 
-class Rows:
-  """Accumulates efc rows (python lists of jnp values, stacked at the end)."""
+class _Blocks:
+  """Ordered efc blocks, concatenated once at the end (static shapes)."""
 
   def __init__(self, m: Model, d: Data):
     self.m, self.d = m, d
     self.J, self.pos, self.margin = [], [], []
     self.D, self.aref, self.frictionloss = [], [], []
     self.active = []
-    self.types = []
 
-  def add(self, jrow, pos, margin, solref, solimp, invweight,
-          active, frictionloss=0.0, pos_for_imp=None,
-          rowtype=_solver.ONESIDED):
-    """One row. pos_for_imp overrides the impedance input (contacts)."""
+  def add(self, J, pos, margin, solref, solimp, invweight, active,
+          frictionloss=None, pos_for_imp=None, D=None, aref=None):
+    """One block of n rows.  J (n, nv); scalars broadcast to (n,)."""
     m, d = self.m, self.d
     dtype = d.qpos.dtype
-    pmm = (pos_for_imp if pos_for_imp is not None else pos) - margin
-    k, b, imp = _kbi(m, jnp.asarray(solref, dtype),
-                     jnp.asarray(solimp, dtype), pmm)
-    r = jnp.maximum((1.0 - imp) / imp * invweight, 1e-14)
-    vel = jrow @ d.qvel
-    aref = -b * vel - k * imp * (pos - margin)
-    self.J.append(jrow)
-    self.pos.append(jnp.asarray(pos, dtype))
-    self.margin.append(jnp.asarray(margin, dtype))
-    self.D.append(1.0 / r)
-    self.aref.append(aref)
-    self.frictionloss.append(jnp.asarray(frictionloss, dtype))
-    self.active.append(jnp.asarray(active, bool))
-    self.types.append(rowtype)
+    n = J.shape[0]
+    b1 = lambda x: jnp.broadcast_to(jnp.asarray(x, dtype), (n,))
+    pos = b1(pos)
+    margin = b1(margin)
+    if D is None or aref is None:
+      pmm = (b1(pos_for_imp) if pos_for_imp is not None else pos) - margin
+      k, b, imp = _kbi(m, jnp.asarray(solref, dtype),
+                       jnp.asarray(solimp, dtype), pmm)
+      if D is None:
+        r = jnp.maximum((1.0 - imp) / imp * b1(invweight), 1e-14)
+        D = 1.0 / r
+      if aref is None:
+        vel = J @ d.qvel
+        aref = -b * vel - k * imp * (pos - margin)
+    self.J.append(J)
+    self.pos.append(pos)
+    self.margin.append(margin)
+    self.D.append(b1(D))
+    self.aref.append(b1(aref))
+    self.frictionloss.append(
+        b1(0.0 if frictionloss is None else frictionloss))
+    self.active.append(jnp.broadcast_to(jnp.asarray(active, bool), (n,)))
 
   def finalize(self) -> Data:
     d = self.d
     nefc = d.efc_J.shape[0]
-    dtype = d.qpos.dtype
-    n = len(self.J)
-    assert n == nefc, f'constraint row count {n} != allocated {nefc}'
-    _solver.register_row_types(self.m, self.types)
-    if n == 0:
+    if not self.J:
+      assert nefc == 0
       return d
+    J = jnp.concatenate(self.J)
+    assert J.shape[0] == nefc, (
+        f'constraint row count {J.shape[0]} != allocated {nefc}')
     return d.replace(
-        efc_J=jnp.stack(self.J),
-        efc_pos=jnp.stack(self.pos),
-        efc_margin=jnp.stack(self.margin),
-        efc_D=jnp.stack(self.D),
-        efc_aref=jnp.stack(self.aref),
-        efc_frictionloss=jnp.stack(self.frictionloss),
-        efc_active=jnp.stack(self.active),
+        efc_J=J,
+        efc_pos=jnp.concatenate(self.pos),
+        efc_margin=jnp.concatenate(self.margin),
+        efc_D=jnp.concatenate(self.D),
+        efc_aref=jnp.concatenate(self.aref),
+        efc_frictionloss=jnp.concatenate(self.frictionloss),
+        efc_active=jnp.concatenate(self.active),
     )
 
 
 def make_constraint(m: Model, d: Data) -> Data:
   if m.opt.disableflags & DisableBit.CONSTRAINT:
     return d
+  lay = layout(m)
   dtype = d.qpos.dtype
-  rows = Rows(m, d)
+  blocks = _Blocks(m, d)
 
-  # --- equality ----------------------------------------------------------
+  # --- equality (per-row loop; neq is small) -------------------------------
   if not (m.opt.disableflags & DisableBit.EQUALITY):
     for e in range(m.neq):
-      _equality_rows(m, d, e, rows)
+      _equality_rows(m, d, e, blocks)
 
-  # --- dof friction loss -------------------------------------------------
-  if not (m.opt.disableflags & DisableBit.FRICTIONLOSS):
-    for v in range(m.nv):
-      fl = float(m.dof_frictionloss[v])
-      if fl <= 0:
-        continue
-      jrow = jnp.zeros(m.nv, dtype).at[v].set(1.0)
-      rows.add(jrow, jnp.zeros((), dtype), 0.0,
-               m.dof_solref[v], m.dof_solimp[v],
-               float(m.dof_invweight0[v]), True, frictionloss=fl,
-               rowtype=_solver.FRICTION)
+  # --- dof friction loss ----------------------------------------------------
+  if lay.fric_dof.size:
+    idx = lay.fric_dof
+    J = jnp.asarray(np.eye(m.nv)[idx], dtype)
+    vel = d.qvel[idx]
+    solref = jnp.asarray(m.dof_solref[idx], dtype)
+    solimp = jnp.asarray(m.dof_solimp[idx], dtype)
+    _, b, imp = _kbi(m, solref, solimp, jnp.zeros(idx.size, dtype))
+    r = jnp.maximum(
+        (1.0 - imp) / imp * jnp.asarray(m.dof_invweight0[idx], dtype),
+        1e-14)
+    blocks.add(J, 0.0, 0.0, solref, solimp, None, True,
+               frictionloss=jnp.asarray(m.dof_frictionloss[idx], dtype),
+               D=1.0 / r, aref=-b * vel)
 
-  # --- joint limits ------------------------------------------------------
-  if not (m.opt.disableflags & DisableBit.LIMIT):
-    for j in range(m.njnt):
-      if not m.jnt_limited[j]:
-        continue
-      jtype = JointType(int(m.jnt_type[j]))
-      qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
-      margin = float(m.jnt_margin[j])
-      if jtype in (JointType.SLIDE, JointType.HINGE):
-        lo, hi = m.jnt_range[j]
-        dist_lo = d.qpos[qadr] - lo
-        dist_hi = hi - d.qpos[qadr]
-        lower_closer = dist_lo < dist_hi
-        dist = jnp.minimum(dist_lo, dist_hi)
-        sign = jnp.where(lower_closer, 1.0, -1.0)
-        jrow = jnp.zeros(m.nv, dtype).at[dadr].set(1.0) * sign
-        rows.add(jrow, dist, margin, m.jnt_solref[j], m.jnt_solimp[j],
-                 float(m.dof_invweight0[dadr]), dist < margin)
-      elif jtype == JointType.BALL:
-        # axis-angle magnitude limited by max(|range|)
-        axis = math.quat_sub(
-            d.qpos[qadr:qadr + 4],
-            jnp.asarray([1.0, 0, 0, 0], dtype))
-        angle = math.norm_safe(axis)
-        limit = float(np.max(np.abs(m.jnt_range[j])))
-        dist = limit - angle
-        dir_ = axis / jnp.maximum(angle, 1e-14)
-        jrow = jnp.zeros(m.nv, dtype).at[dadr:dadr + 3].set(-dir_)
-        rows.add(jrow, dist, margin, m.jnt_solref[j], m.jnt_solimp[j],
-                 float(m.dof_invweight0[dadr]), dist < margin)
+  # --- tendon friction loss ---------------------------------------------------
+  if lay.fric_ten.size:
+    idx = lay.fric_ten
+    J = d.ten_J[idx]
+    vel = d.ten_velocity[idx]
+    solref = jnp.asarray(m.tendon_solref_fri[idx], dtype)
+    solimp = jnp.asarray(m.tendon_solimp_fri[idx], dtype)
+    _, b, imp = _kbi(m, solref, solimp, jnp.zeros(idx.size, dtype))
+    r = jnp.maximum(
+        (1.0 - imp) / imp * jnp.asarray(m.tendon_invweight0[idx], dtype),
+        1e-14)
+    blocks.add(J, 0.0, 0.0, solref, solimp, None, True,
+               frictionloss=jnp.asarray(m.tendon_frictionloss[idx], dtype),
+               D=1.0 / r, aref=-b * vel)
 
-  # --- tendon limits -----------------------------------------------------
-  if not (m.opt.disableflags & DisableBit.LIMIT):
-    for t in range(m.ntendon):
-      if not m.tendon_limited[t]:
-        continue
-      lo, hi = m.tendon_range[t]
-      margin = float(m.tendon_margin[t])
-      length = d.ten_length[t]
-      dist_lo = length - lo
-      dist_hi = hi - length
-      lower_closer = dist_lo < dist_hi
-      dist = jnp.minimum(dist_lo, dist_hi)
-      sign = jnp.where(lower_closer, 1.0, -1.0)
-      jrow = d.ten_J[t] * sign
-      rows.add(jrow, dist, margin, m.tendon_solref_lim[t],
-               m.tendon_solimp_lim[t], float(m.tendon_invweight0[t]),
-               dist < margin)
+  # --- joint limits (slide/hinge, vectorized) --------------------------------
+  if lay.lim_jnt.size:
+    jid = lay.lim_jnt
+    qadr = m.jnt_qposadr[jid]
+    dadr = m.jnt_dofadr[jid]
+    lo = jnp.asarray(m.jnt_range[jid, 0], dtype)
+    hi = jnp.asarray(m.jnt_range[jid, 1], dtype)
+    q = d.qpos[qadr]
+    dist_lo = q - lo
+    dist_hi = hi - q
+    lower_closer = dist_lo < dist_hi
+    dist = jnp.minimum(dist_lo, dist_hi)
+    sign = jnp.where(lower_closer, 1.0, -1.0)
+    J = jnp.asarray(np.eye(m.nv)[dadr], dtype) * sign[:, None]
+    margin = jnp.asarray(m.jnt_margin[jid], dtype)
+    blocks.add(J, dist, margin, jnp.asarray(m.jnt_solref[jid], dtype),
+               jnp.asarray(m.jnt_solimp[jid], dtype),
+               jnp.asarray(m.dof_invweight0[dadr], dtype), dist < margin)
 
-  # --- contacts ----------------------------------------------------------
-  if not (m.opt.disableflags & DisableBit.CONTACT):
-    _contact_rows(m, d, rows)
+  # --- ball joint limits (loop; rare) -----------------------------------------
+  for j in lay.lim_ball:
+    qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
+    margin = float(m.jnt_margin[j])
+    axis = math.quat_sub(d.qpos[qadr:qadr + 4],
+                         jnp.asarray([1.0, 0, 0, 0], dtype))
+    angle = math.norm_safe(axis)
+    limit = float(np.max(np.abs(m.jnt_range[j])))
+    dist = limit - angle
+    dir_ = axis / jnp.maximum(angle, 1e-14)
+    J = jnp.zeros((1, m.nv), dtype).at[0, dadr:dadr + 3].set(-dir_)
+    blocks.add(J, dist, margin, m.jnt_solref[j], m.jnt_solimp[j],
+               float(m.dof_invweight0[dadr]), dist < margin)
 
-  return rows.finalize()
+  # --- tendon limits -----------------------------------------------------------
+  if lay.lim_ten.size:
+    tid = lay.lim_ten
+    lo = jnp.asarray(m.tendon_range[tid, 0], dtype)
+    hi = jnp.asarray(m.tendon_range[tid, 1], dtype)
+    length = d.ten_length[tid]
+    dist_lo = length - lo
+    dist_hi = hi - length
+    lower_closer = dist_lo < dist_hi
+    dist = jnp.minimum(dist_lo, dist_hi)
+    sign = jnp.where(lower_closer, 1.0, -1.0)
+    J = d.ten_J[tid] * sign[:, None]
+    margin = jnp.asarray(m.tendon_margin[tid], dtype)
+    blocks.add(J, dist, margin,
+               jnp.asarray(m.tendon_solref_lim[tid], dtype),
+               jnp.asarray(m.tendon_solimp_lim[tid], dtype),
+               jnp.asarray(m.tendon_invweight0[tid], dtype), dist < margin)
+
+  # --- contacts -----------------------------------------------------------------
+  if lay.contact is not None and lay.contact.ncon:
+    _contact_rows(m, d, lay, blocks)
+
+  return blocks.finalize()
 
 
-def _equality_rows(m: Model, d: Data, e: int, rows: Rows):
+def _equality_rows(m: Model, d: Data, e: int, blocks: _Blocks):
   dtype = d.qpos.dtype
   etype = EqType(int(m.eq_type[e]))
   solref, solimp = m.eq_solref[e], m.eq_solimp[e]
@@ -205,9 +242,8 @@ def _equality_rows(m: Model, d: Data, e: int, rows: Rows):
     jdiff = (jac1p - jac2p).T  # (3, nv)
     pos = p1 - p2
     invweight = float(m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])
-    for k in range(3):
-      rows.add(jdiff[k], pos[k], 0.0, solref, solimp, invweight, active,
-               rowtype=_solver.EQUALITY)
+    blocks.add(jdiff, pos, 0.0, np.broadcast_to(solref, (3, 2)),
+               np.broadcast_to(solimp, (3, 5)), invweight, active)
   elif etype == EqType.WELD:
     b1, b2 = int(m.eq_obj1id[e]), int(m.eq_obj2id[e])
     anchor = jnp.asarray(data[:3], dtype)
@@ -224,12 +260,10 @@ def _equality_rows(m: Model, d: Data, e: int, rows: Rows):
     qerr = math.quat_sub(d.xquat[b1], qtarget)
     invweight_t = float(m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])
     invweight_r = float(m.body_invweight0[b1, 1] + m.body_invweight0[b2, 1])
-    for k in range(3):
-      rows.add(jdiffp[k], pos[k], 0.0, solref, solimp, invweight_t, active,
-               rowtype=_solver.EQUALITY)
-    for k in range(3):
-      rows.add(jdiffr[k], qerr[k], 0.0, solref, solimp, invweight_r, active,
-               rowtype=_solver.EQUALITY)
+    blocks.add(jdiffp, pos, 0.0, np.broadcast_to(solref, (3, 2)),
+               np.broadcast_to(solimp, (3, 5)), invweight_t, active)
+    blocks.add(jdiffr, qerr, 0.0, np.broadcast_to(solref, (3, 2)),
+               np.broadcast_to(solimp, (3, 5)), invweight_r, active)
   elif etype == EqType.JOINT:
     j1, j2 = int(m.eq_obj1id[e]), int(m.eq_obj2id[e])
     q1adr, d1adr = int(m.jnt_qposadr[j1]), int(m.jnt_dofadr[j1])
@@ -251,8 +285,8 @@ def _equality_rows(m: Model, d: Data, e: int, rows: Rows):
     else:
       pos = q1 - poly[0]
       jrow = jnp.zeros(m.nv, dtype).at[d1adr].set(1.0)
-    rows.add(jrow, pos, 0.0, solref, solimp, invweight, active,
-             rowtype=_solver.EQUALITY)
+    blocks.add(jrow[None], pos, 0.0, solref[None], solimp[None],
+               invweight, active)
   elif etype == EqType.TENDON:
     t1, t2 = int(m.eq_obj1id[e]), int(m.eq_obj2id[e])
     poly = jnp.asarray(data[:5], dtype)
@@ -270,105 +304,134 @@ def _equality_rows(m: Model, d: Data, e: int, rows: Rows):
     else:
       pos = l1 - poly[0]
       jrow = d.ten_J[t1]
-    rows.add(jrow, pos, 0.0, solref, solimp, invweight, active,
-             rowtype=_solver.EQUALITY)
+    blocks.add(jrow[None], pos, 0.0, solref[None], solimp[None],
+               invweight, active)
   else:
     raise NotImplementedError(f'equality {etype}')
 
 
-def _contact_rows(m: Model, d: Data, rows: Rows):
-  """Contact efc rows (pyramidal or elliptic) from the padded Contact set."""
-  from dm_control_tpu._src import collision as coll
-  dtype = d.qpos.dtype
-  con = d.contact
-  idx = 0
-  for g1, g2, p, npoints in coll._pair_entries(m):
-    condim = p['condim'] if p else coll._pair_condim(m, g1, g2)
-    b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
-    invweight = float(m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0])
-    for k in range(npoints):
-      i = idx + k
-      active = con.dist[i] < con.includemargin[i]
-      pos = con.dist[i]
-      margin = con.includemargin[i]
-      # jacobian of relative velocity at contact point, in contact frame
-      jac1p, jac1r = smooth.jac(m, d, con.pos[i], b1)
-      jac2p, jac2r = smooth.jac(m, d, con.pos[i], b2)
-      jdiff = (jac2p - jac1p)  # (nv, 3): vel of geom2 body rel geom1
-      frame = con.frame[i]  # rows: normal, t1, t2
-      jn = jdiff @ frame[0]
-      if condim == 1:
-        rows.add(jn, pos, margin, con.solref[i], con.solimp[i],
-                 invweight, active, pos_for_imp=pos)
-      else:
-        jt1 = jdiff @ frame[1]
-        jt2 = jdiff @ frame[2]
-        mu = con.friction[i]
-        if m.opt.cone == ConeType.ELLIPTIC:
-          # elliptic: rows = normal + condim-1 friction rows
-          rows.add(jn, pos, margin, con.solref[i], con.solimp[i],
-                   invweight, active, pos_for_imp=pos)
-          fr_rows = [jt1, jt2]
-          jrot = (jdiff if condim <= 4 else None)
-          fr = [mu[0], mu[1]]
-          if condim > 4:
-            jr_ = (jac2r - jac1r)
-            fr_rows += [jr_ @ frame[0], jr_ @ frame[1], jr_ @ frame[2]]
-            fr += [mu[2], mu[3], mu[4]]
-          for t in range(condim - 1):
-            rows.add(fr_rows[t], jnp.zeros((), dtype), margin,
-                     con.solref[i], con.solimp[i], invweight, active,
-                     pos_for_imp=pos)
-        else:
-          # pyramidal: 2*(condim-1) rows; edge t± = n*mu_t +- t
-          fr_rows = [jt1, jt2]
-          mus = [mu[0], mu[1]]
-          if condim > 4:
-            jr_ = (jac2r - jac1r)
-            fr_rows += [jr_ @ frame[0], jr_ @ frame[1], jr_ @ frame[2]]
-            mus += [mu[2], mu[3], mu[4]]
-          for t in range(condim - 1):
-            # pyramid-edge invweight = 2 mu^2 (1 + mu^2) iw
-            # (fit exactly against oracle efc_D across mu values)
-            iw = invweight * 2.0 * mus[t] ** 2 * (1.0 + mus[t] ** 2)
-            for sign in (1.0, -1.0):
-              # edge direction in force space: n + sign*mu*t
-              jrow = jn + sign * mus[t] * fr_rows[t]
-              rows.add(jrow, pos, margin, con.solref[i], con.solimp[i],
-                       iw, active, pos_for_imp=pos)
-    idx += npoints
+def contact_jacobians(m: Model, d: Data, lay: efc.Layout):
+  """Batched contact-frame Jacobians.
 
-
-def static_row_types(m: Model) -> np.ndarray:
-  """Row-type layout (EQUALITY/FRICTION/ONESIDED) computed statically.
-
-  Must mirror make_constraint's row emission order exactly; used by the
-  solver so it never depends on trace-order side effects.
+  Returns (jn (ncon, nv), jdirs (ncon, ndir, nv)): the normal-direction
+  relative-velocity Jacobian of each contact, and the tangential (+
+  rotational, when any contact has condim > 3) direction rows.  One fused
+  batched computation replaces the reference's per-contact mj_jac calls.
   """
-  from dm_control_tpu._src import collision as coll
-  types = []
-  if m.opt.disableflags & DisableBit.CONSTRAINT:
-    return np.zeros(0, np.int32)
-  if not (m.opt.disableflags & DisableBit.EQUALITY):
-    for e in range(m.neq):
-      etype = EqType(int(m.eq_type[e]))
-      n = {EqType.CONNECT: 3, EqType.WELD: 6, EqType.JOINT: 1,
-           EqType.TENDON: 1}[etype]
-      types += [_solver.EQUALITY] * n
-  if not (m.opt.disableflags & DisableBit.FRICTIONLOSS):
-    for v in range(m.nv):
-      if float(m.dof_frictionloss[v]) > 0:
-        types.append(_solver.FRICTION)
-  if not (m.opt.disableflags & DisableBit.LIMIT):
-    for j in range(m.njnt):
-      if m.jnt_limited[j] and int(m.jnt_type[j]) != int(JointType.FREE):
-        types.append(_solver.ONESIDED)
-    for t in range(m.ntendon):
-      if m.tendon_limited[t]:
-        types.append(_solver.ONESIDED)
-  if not (m.opt.disableflags & DisableBit.CONTACT):
-    for g1, g2, p, npoints in coll._pair_entries(m):
-      condim = p['condim'] if p else coll._pair_condim(m, g1, g2)
-      rows = 1 if condim == 1 else 2 * (condim - 1)
-      types += [_solver.ONESIDED] * (rows * npoints)
-  return np.asarray(types, np.int32)
+  con = d.contact
+  c = lay.contact
+  dtype = d.qpos.dtype
+  mask1 = jnp.asarray(m.body_dof_mask[c.body1], dtype)  # (ncon, nv)
+  mask2 = jnp.asarray(m.body_dof_mask[c.body2], dtype)
+  root1 = m.body_rootid[c.body1]
+  root2 = m.body_rootid[c.body2]
+  cdof_ang, cdof_lin = d.cdof[:, :3], d.cdof[:, 3:]
+
+  def jacp(root, mask):
+    offset = con.pos - d.subtree_com[root]  # (ncon, 3)
+    jp = cdof_lin[None, :, :] + jnp.cross(
+        jnp.broadcast_to(cdof_ang[None, :, :], (c.ncon, m.nv, 3)),
+        jnp.broadcast_to(offset[:, None, :], (c.ncon, m.nv, 3)))
+    return jp * mask[:, :, None]
+
+  jdiffp = jacp(root2, mask2) - jacp(root1, mask1)  # (ncon, nv, 3)
+  jn = jnp.einsum('cvx,cx->cv', jdiffp, con.frame[:, 0])
+  ndir = min(c.max_dir, 2) if c.max_dir <= 2 else 5
+  if ndir == 0:
+    return jn, jnp.zeros((c.ncon, 0, m.nv), dtype)
+  jt = jnp.einsum('cvx,cdx->cdv', jdiffp, con.frame[:, 1:])  # (ncon,2,nv)
+  if ndir <= 2:
+    return jn, jt
+  jdiffr = (cdof_ang[None, :, :]
+            * (mask2 - mask1)[:, :, None])  # (ncon, nv, 3)
+  jr = jnp.einsum('cvx,cdx->cdv', jdiffr, con.frame)  # (ncon, 3, nv)
+  return jn, jnp.concatenate([jt, jr], axis=1)
+
+
+def _contact_rows(m: Model, d: Data, lay: efc.Layout, blocks: _Blocks):
+  """All contact efc rows as one scatter into a contiguous block."""
+  con = d.contact
+  c = lay.contact
+  dtype = d.qpos.dtype
+  nrows = lay.nefc - lay.n_noncontact
+  base = lay.n_noncontact
+  impratio = float(getattr(m.opt, 'impratio', 1.0))
+
+  jn, jdirs = contact_jacobians(m, d, lay)
+
+  # per-contact soft-constraint params
+  dist = con.dist
+  margin = con.includemargin
+  k, b, imp = _kbi(m, con.solref, con.solimp, dist - margin)
+  # invweight read from the model at trace time (NOT baked into the static
+  # layout): the engine's set_const pass refines body_invweight0 after the
+  # layout may already have been built.
+  iw = jnp.asarray(m.body_invweight0[c.body1, 0]
+                   + m.body_invweight0[c.body2, 0], dtype)
+  r_n = jnp.maximum((1.0 - imp) / imp * iw, 1e-14)
+  d_n = 1.0 / r_n                      # plain normal-row D
+  active = dist < margin
+  vel_n = jn @ d.qvel
+  aref_n = -b * vel_n - k * imp * (dist - margin)
+  mu1 = jnp.asarray(c.friction[:, 0] if c.ncon else np.zeros(0), dtype)
+
+  J = jnp.zeros((nrows, m.nv), dtype)
+  pos = jnp.zeros((nrows,), dtype)
+  marg = jnp.zeros((nrows,), dtype)
+  D = jnp.full((nrows,), 1.0, dtype)
+  aref = jnp.zeros((nrows,), dtype)
+  act = jnp.zeros((nrows,), bool)
+
+  # normal rows (condim==1 contacts + elliptic normals)
+  if c.nrm_row.size:
+    rows = c.nrm_row - base
+    ci = c.nrm_con
+    J = J.at[rows].set(jn[ci])
+    pos = pos.at[rows].set(dist[ci])
+    marg = marg.at[rows].set(margin[ci])
+    D = D.at[rows].set(d_n[ci])
+    aref = aref.at[rows].set(aref_n[ci])
+    act = act.at[rows].set(active[ci])
+
+  # pyramidal edge rows
+  if c.pyr_row.size:
+    rows = c.pyr_row - base
+    ci = c.pyr_con
+    mu_dir = jnp.asarray(c.friction[c.pyr_con, c.pyr_dir], dtype)
+    sign = jnp.asarray(c.pyr_sign, dtype)
+    Jp = jn[ci] + (sign * mu_dir)[:, None] * jdirs[ci, c.pyr_dir]
+    vel = Jp @ d.qvel
+    # pyramid-edge D: all edges share the mu_1-based scaling
+    # (oracle-verified: efc_D identical across directions), / impratio.
+    mu2 = mu1[ci] * mu1[ci]
+    d_p = d_n[ci] / (2.0 * mu2 * (1.0 + mu2)) * impratio
+    aref_p = -b[ci] * vel - (k * imp)[ci] * (dist[ci] - margin[ci])
+    J = J.at[rows].set(Jp)
+    pos = pos.at[rows].set(dist[ci])
+    marg = marg.at[rows].set(margin[ci])
+    D = D.at[rows].set(d_p)
+    aref = aref.at[rows].set(aref_p)
+    act = act.at[rows].set(active[ci])
+
+  # elliptic friction rows
+  if c.ellf_row.size:
+    rows = c.ellf_row - base
+    ci = c.ellf_con
+    Jf = jdirs[ci, c.ellf_dir]
+    vel = Jf @ d.qvel
+    mu_dir = jnp.asarray(c.friction[c.ellf_con, c.ellf_dir], dtype)
+    ratio = mu_dir / mu1[ci]
+    d_f = d_n[ci] * ratio * ratio * impratio
+    J = J.at[rows].set(Jf)
+    # pos/margin stay 0: elliptic friction rows have no spring term
+    D = D.at[rows].set(d_f)
+    aref = aref.at[rows].set(-b[ci] * vel)
+    act = act.at[rows].set(active[ci])
+
+  blocks.J.append(J)
+  blocks.pos.append(pos)
+  blocks.margin.append(marg)
+  blocks.D.append(D)
+  blocks.aref.append(aref)
+  blocks.frictionloss.append(jnp.zeros((nrows,), dtype))
+  blocks.active.append(act)

@@ -73,29 +73,38 @@ def make_data(m: Model, dtype=None) -> Data:
 
 
 def contact_capacity(m: Model):
-  """(max contacts, max constraint rows) - static padding sizes."""
+  """(max contacts, max constraint rows) - static padding sizes.
+
+  Both sizes come from the single static efc layout (efc.layout), so the
+  allocator, the assembler, and the solver can never disagree on row
+  counts."""
   from dm_control_tpu._src import collision
-  ncon = collision.count_max_contacts(m)
-  nefc = 0
-  if not m.opt.disableflags & DisableBit.CONSTRAINT:
-    # limits: one row per limited joint/tendon; friction dofs;
-    # equality rows; contacts: condim rows each (pyramidal: 2*(dim-1)+...).
-    nefc += int(m.jnt_limited.sum()) if m.njnt else 0
-    nefc += int(m.tendon_limited.sum()) if m.ntendon else 0
-    nefc += int((m.dof_frictionloss > 0).sum()) if m.nv else 0
-    for i in range(m.neq):
-      nefc += {0: 3, 1: 6, 2: 1, 3: 1}[int(m.eq_type[i])]
-    from dm_control_tpu._src.types import ConeType
-    for i in range(ncon and 1):
-      pass
-    # contact rows counted by collision module (depends on condim/cone)
-    nefc += collision.count_contact_rows(m)
-  return ncon, nefc
+  from dm_control_tpu._src import efc
+  return collision.count_max_contacts(m), efc.layout(m).nefc
 
 
 # ---------------------------------------------------------------------------
 # Passive forces (reference stage: mj_passive).
 # ---------------------------------------------------------------------------
+
+
+def _body_jacs(m: Model, d: Data):
+  """Batched translational/rotational Jacobians at every body's xipos.
+
+  (nbody, nv, 3) each; one fused computation replacing per-body
+  smooth.jac calls (shared by xfrc, fluid, and gravcomp stages)."""
+  dtype = d.qpos.dtype
+  mask = jnp.asarray(m.body_dof_mask, dtype)  # (nbody, nv)
+  offset = d.xipos - d.subtree_com[m.body_rootid]  # (nbody, 3)
+  cdof_ang, cdof_lin = d.cdof[:, :3], d.cdof[:, 3:]
+  jacp = (cdof_lin[None, :, :]
+          + jnp.cross(jnp.broadcast_to(cdof_ang[None, :, :],
+                                       (m.nbody, m.nv, 3)),
+                      jnp.broadcast_to(offset[:, None, :],
+                                       (m.nbody, m.nv, 3))))
+  jacp = jacp * mask[:, :, None]
+  jacr = cdof_ang[None, :, :] * mask[:, :, None]
+  return jacp, jacr
 
 
 def passive(m: Model, d: Data) -> Data:
@@ -104,69 +113,82 @@ def passive(m: Model, d: Data) -> Data:
   if m.opt.disableflags & DisableBit.PASSIVE == DisableBit.PASSIVE or m.nv == 0:
     return d.replace(qfrc_spring=z, qfrc_damper=z, qfrc_passive=z,
                      qfrc_gravcomp=z, qfrc_fluid=z)
+  from dm_control_tpu._src import tree
+  tr = tree.get(m)
 
   # joint springs: per joint, force = -stiffness * (qpos - qpos_spring)
   qfrc_spring = jnp.zeros(m.nv, dtype)
   if not (m.opt.disableflags & DisableBit.SPRING):
     qpos_spring = jnp.asarray(m.qpos_spring, dtype)
-    for j in range(m.njnt):
-      k = float(m.jnt_stiffness[j])
+    stiff = m.jnt_stiffness
+    hs = tr.hs_jids[stiff[tr.hs_jids] > 0] if len(tr.hs_jids) else tr.hs_jids
+    if len(hs):
+      qadr = m.jnt_qposadr[hs]
+      dadr = m.jnt_dofadr[hs]
+      k = jnp.asarray(stiff[hs], dtype)
+      qfrc_spring = qfrc_spring.at[dadr].add(
+          -k * (d.qpos[qadr] - qpos_spring[qadr]))
+    for j in tr.ball_jids:
+      k = float(stiff[j])
       if k == 0.0:
         continue
-      jtype = JointType(int(m.jnt_type[j]))
       qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
-      if jtype in (JointType.SLIDE, JointType.HINGE):
-        qfrc_spring = qfrc_spring.at[dadr].add(
-            -k * (d.qpos[qadr] - qpos_spring[qadr]))
-      elif jtype == JointType.BALL:
-        dif = math.quat_sub(d.qpos[qadr:qadr + 4],
-                            qpos_spring[qadr:qadr + 4])
-        qfrc_spring = qfrc_spring.at[dadr:dadr + 3].add(-k * dif)
-      else:  # FREE
-        qfrc_spring = qfrc_spring.at[dadr:dadr + 3].add(
-            -k * (d.qpos[qadr:qadr + 3] - qpos_spring[qadr:qadr + 3]))
-        dif = math.quat_sub(d.qpos[qadr + 3:qadr + 7],
-                            qpos_spring[qadr + 3:qadr + 7])
-        qfrc_spring = qfrc_spring.at[dadr + 3:dadr + 6].add(-k * dif)
-
-    # tendon springs (with deadband semantics)
-    for t in range(m.ntendon):
-      k = float(m.tendon_stiffness[t])
+      dif = math.quat_sub(d.qpos[qadr:qadr + 4],
+                          qpos_spring[qadr:qadr + 4])
+      qfrc_spring = qfrc_spring.at[dadr:dadr + 3].add(-k * dif)
+    for j in tr.free_jids:
+      k = float(stiff[j])
       if k == 0.0:
         continue
-      lo, hi = m.tendon_lengthspring[t]
-      if lo < 0:  # unset -> use length0
-        lo = hi = float(m.tendon_length0[t]) if np.ndim(
-            m.tendon_length0) else 0.0
-      length = d.ten_length[t]
-      displacement = jnp.where(
-          length > hi, hi - length, jnp.where(length < lo, lo - length, 0.0))
-      qfrc_spring = qfrc_spring + d.ten_J[t] * (k * displacement)
+      qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
+      qfrc_spring = qfrc_spring.at[dadr:dadr + 3].add(
+          -k * (d.qpos[qadr:qadr + 3] - qpos_spring[qadr:qadr + 3]))
+      dif = math.quat_sub(d.qpos[qadr + 3:qadr + 7],
+                          qpos_spring[qadr + 3:qadr + 7])
+      qfrc_spring = qfrc_spring.at[dadr + 3:dadr + 6].add(-k * dif)
+
+    # tendon springs (with deadband semantics), vectorized over tendons
+    tsel = np.where(m.tendon_stiffness > 0)[0] if m.ntendon else np.zeros(
+        0, np.int32)
+    if len(tsel):
+      lo = m.tendon_lengthspring[tsel, 0].copy()
+      hi = m.tendon_lengthspring[tsel, 1].copy()
+      unset = lo < 0
+      l0_all = np.asarray(m.tendon_length0)
+      # scalar placeholder until setconst fills per-tendon lengths
+      l0 = (l0_all[tsel] if l0_all.ndim
+            else np.zeros(len(tsel)))
+      lo[unset] = l0[unset]
+      hi[unset] = l0[unset]
+      lo = jnp.asarray(lo, dtype)
+      hi = jnp.asarray(hi, dtype)
+      k = jnp.asarray(m.tendon_stiffness[tsel], dtype)
+      length = d.ten_length[tsel]
+      disp = jnp.where(length > hi, hi - length,
+                       jnp.where(length < lo, lo - length, 0.0))
+      qfrc_spring = qfrc_spring + jnp.einsum(
+          'tv,t->v', d.ten_J[tsel], k * disp)
 
   # dampers
   qfrc_damper = jnp.zeros(m.nv, dtype)
   if not (m.opt.disableflags & DisableBit.DAMPER):
     qfrc_damper = -jnp.asarray(m.dof_damping, dtype) * d.qvel
-    for t in range(m.ntendon):
-      b = float(m.tendon_damping[t])
-      if b == 0.0:
-        continue
-      qfrc_damper = qfrc_damper + d.ten_J[t] * (-b * d.ten_velocity[t])
+    tsel = np.where(m.tendon_damping > 0)[0] if m.ntendon else np.zeros(
+        0, np.int32)
+    if len(tsel):
+      b = jnp.asarray(m.tendon_damping[tsel], dtype)
+      qfrc_damper = qfrc_damper - jnp.einsum(
+          'tv,t->v', d.ten_J[tsel], b * d.ten_velocity[tsel])
 
-  # gravity compensation
+  # gravity compensation (batched over the bodies that use it)
   qfrc_gravcomp = jnp.zeros(m.nv, dtype)
   if (m.body_gravcomp is not None and np.any(m.body_gravcomp > 0)
       and not (m.opt.disableflags & DisableBit.GRAVITY)):
     gravity = jnp.asarray(m.opt.gravity, dtype)
-    mask = jnp.asarray(m.body_dof_mask, dtype)
-    for b in range(1, m.nbody):
-      gc = float(m.body_gravcomp[b])
-      if gc == 0.0:
-        continue
-      force = -gravity * float(m.body_mass[b]) * gc
-      jacp, _ = smooth.jac(m, d, d.xipos[b], b)
-      qfrc_gravcomp = qfrc_gravcomp + jacp @ force
-    del mask
+    jacp, _ = _body_jacs(m, d)
+    gc = jnp.asarray(m.body_gravcomp * m.body_mass, dtype)
+    force = -gravity[None, :] * gc[:, None]  # (nbody, 3)
+    qfrc_gravcomp = jnp.einsum('bvx,bx->v', jacp, force)
 
   # fluid forces (inertia-box model; exercised by swimmer/fish)
   qfrc_fluid = jnp.zeros(m.nv, dtype)
@@ -180,56 +202,57 @@ def passive(m: Model, d: Data) -> Data:
 
 
 def _inertia_box_fluid(m: Model, d: Data) -> jax.Array:
-  """Viscous + density fluid forces via the equivalent-inertia-box model."""
+  """Viscous + density fluid forces via the equivalent-inertia-box model,
+  batched over all bodies (no per-body trace unroll)."""
   dtype = d.qpos.dtype
   viscosity = float(m.opt.viscosity)
   density = float(m.opt.density)
   wind = jnp.asarray(m.opt.wind, dtype)
-  mask = jnp.asarray(m.body_dof_mask, dtype)  # (nbody, nv)
 
-  qfrc = jnp.zeros(m.nv, dtype)
-  for b in range(1, m.nbody):
-    mass = float(m.body_mass[b])
-    if mass <= 0:
-      continue
-    inert = m.body_inertia[b]
-    # equivalent box half-sizes from principal inertia
-    box = np.sqrt(np.maximum(1e-12, np.array([
-        inert[1] + inert[2] - inert[0],
-        inert[0] + inert[2] - inert[1],
-        inert[0] + inert[1] - inert[2]])) * 3.0 / (2.0 * mass))
-    box = jnp.asarray(box, dtype)
+  # equivalent box half-sizes from principal inertia (static)
+  mass_np = np.asarray(m.body_mass)
+  inert = np.asarray(m.body_inertia)
+  safe_mass = np.maximum(mass_np, 1e-12)
+  box_np = np.sqrt(np.maximum(1e-12, np.stack([
+      inert[:, 1] + inert[:, 2] - inert[:, 0],
+      inert[:, 0] + inert[:, 2] - inert[:, 1],
+      inert[:, 0] + inert[:, 1] - inert[:, 2]], axis=1))
+      * 3.0 / (2.0 * safe_mass[:, None]))
+  box = jnp.asarray(box_np, dtype)
+  has_mass = jnp.asarray((mass_np > 0) & (np.arange(m.nbody) > 0), dtype)
 
-    # 6D velocity of body com, rotated into the inertial frame
-    offset = d.xipos[b] - d.subtree_com[m.body_rootid[b]]
-    lvel6 = math.transform_motion(d.cvel[b], offset, d.ximat[b].T)
-    ang, lin = lvel6[:3], lvel6[3:]
-    lin = lin - d.ximat[b].T @ wind
+  # 6D velocity of each body com, rotated into the inertial frame
+  offset = d.xipos - d.subtree_com[m.body_rootid]
+  rot = d.ximat.swapaxes(-1, -2)
+  lvel6 = math.transform_motion(d.cvel, offset, rot)   # (nbody, 6)
+  ang, lin = lvel6[..., :3], lvel6[..., 3:]
+  lin = lin - jnp.einsum('bij,j->bi', rot, wind)
 
-    frc = jnp.zeros(3, dtype)
-    trq = jnp.zeros(3, dtype)
-    if viscosity > 0:
-      diam = (box[0] + box[1] + box[2]) * 2.0 / 3.0
-      frc = frc - 3.0 * jnp.pi * diam * viscosity * lin
-      trq = trq - jnp.pi * diam ** 3 * viscosity * ang
-    if density > 0:
-      # quadratic drag: force_i ~ -0.5 rho area_i |v_i| v_i
-      area = 4.0 * jnp.stack(
-          [box[1] * box[2], box[0] * box[2], box[0] * box[1]])
-      frc = frc - 0.5 * density * area * jnp.abs(lin) * lin
-      # angular quadratic drag (form validated numerically vs the oracle)
-      def ang_drag(i, j, k):
-        return -density * box[i] * (box[j] ** 4 + box[k] ** 4) * jnp.abs(
-            ang[i]) * ang[i] / 2.0
-      trq = trq + jnp.stack([ang_drag(0, 1, 2), ang_drag(1, 0, 2),
-                             ang_drag(2, 0, 1)])
-    # rotate back to world, apply at xipos
-    frc_w = d.ximat[b] @ frc
-    trq_w = d.ximat[b] @ trq
-    jacp, jacr = smooth.jac(m, d, d.xipos[b], b)
-    qfrc = qfrc + jacp @ frc_w + jacr @ trq_w
-  del mask
-  return qfrc
+  frc = jnp.zeros((m.nbody, 3), dtype)
+  trq = jnp.zeros((m.nbody, 3), dtype)
+  if viscosity > 0:
+    diam = jnp.sum(box, axis=-1) * 2.0 / 3.0
+    frc = frc - 3.0 * jnp.pi * viscosity * diam[:, None] * lin
+    trq = trq - jnp.pi * viscosity * (diam ** 3)[:, None] * ang
+  if density > 0:
+    # quadratic drag: force_i ~ -0.5 rho area_i |v_i| v_i
+    area = 4.0 * jnp.stack(
+        [box[:, 1] * box[:, 2], box[:, 0] * box[:, 2],
+         box[:, 0] * box[:, 1]], axis=1)
+    frc = frc - 0.5 * density * area * jnp.abs(lin) * lin
+    # angular quadratic drag (form validated numerically vs the oracle)
+    b4 = box ** 4
+    coef = jnp.stack(
+        [box[:, 0] * (b4[:, 1] + b4[:, 2]),
+         box[:, 1] * (b4[:, 0] + b4[:, 2]),
+         box[:, 2] * (b4[:, 0] + b4[:, 1])], axis=1)
+    trq = trq - 0.5 * density * coef * jnp.abs(ang) * ang
+  # rotate back to world, apply at xipos
+  frc_w = jnp.einsum('bij,bj->bi', d.ximat, frc) * has_mass[:, None]
+  trq_w = jnp.einsum('bij,bj->bi', d.ximat, trq) * has_mass[:, None]
+  jacp, jacr = _body_jacs(m, d)
+  return (jnp.einsum('bvx,bx->v', jacp, frc_w)
+          + jnp.einsum('bvx,bx->v', jacr, trq_w))
 
 
 # ---------------------------------------------------------------------------
@@ -254,47 +277,47 @@ def actuation(m: Model, d: Data) -> Data:
   # actuator velocity
   vel = d.actuator_moment @ d.qvel
 
-  # activation dynamics
+  # activation dynamics (vectorized per dyntype group)
+  dyn = np.asarray(m.actuator_dyntype)
+  actadr = np.asarray(m.actuator_actadr)
+  known = np.isin(dyn, [int(DynType.NONE), int(DynType.INTEGRATOR),
+                        int(DynType.FILTER), int(DynType.FILTEREXACT)])
+  if not known.all():
+    raise NotImplementedError(
+        f'dyntype {DynType(int(dyn[~known][0]))}')
   act_dot = jnp.zeros(m.na, dtype)
-  inputs = []
-  for u in range(m.nu):
-    dyn = DynType(int(m.actuator_dyntype[u]))
-    if dyn == DynType.NONE:
-      inputs.append(ctrl[u])
-    else:
-      a = int(m.actuator_actadr[u])
-      act = d.act[a]
-      if dyn == DynType.INTEGRATOR:
-        act_dot = act_dot.at[a].set(ctrl[u])
-      elif dyn in (DynType.FILTER, DynType.FILTEREXACT):
-        tau = max(float(m.actuator_dynprm[u, 0]), 1e-12)
-        act_dot = act_dot.at[a].set((ctrl[u] - act) / tau)
-      else:
-        raise NotImplementedError(f'dyntype {dyn}')
-      inputs.append(act)
-  input_ = jnp.stack(inputs)
+  sel = np.where(dyn == int(DynType.INTEGRATOR))[0]
+  if len(sel):
+    act_dot = act_dot.at[actadr[sel]].set(ctrl[sel])
+  sel = np.where((dyn == int(DynType.FILTER))
+                 | (dyn == int(DynType.FILTEREXACT)))[0]
+  if len(sel):
+    tau = jnp.asarray(
+        np.maximum(m.actuator_dynprm[sel, 0], 1e-12), dtype)
+    act_dot = act_dot.at[actadr[sel]].set(
+        (ctrl[sel] - d.act[actadr[sel]]) / tau)
+  stateless = jnp.asarray(dyn == int(DynType.NONE))
+  if m.na:
+    input_ = jnp.where(stateless, ctrl, d.act[np.maximum(actadr, 0)])
+  else:
+    input_ = ctrl
 
-  # gain / bias
-  forces = []
-  for u in range(m.nu):
-    gain_t = GainType(int(m.actuator_gaintype[u]))
-    bias_t = BiasType(int(m.actuator_biastype[u]))
-    gp = m.actuator_gainprm[u]
-    bp = m.actuator_biasprm[u]
-    if gain_t == GainType.FIXED:
-      gain = jnp.asarray(gp[0], dtype)
-    elif gain_t == GainType.AFFINE:
-      gain = gp[0] + gp[1] * d.actuator_length[u] + gp[2] * vel[u]
-    else:
-      raise NotImplementedError(f'gaintype {gain_t}')
-    if bias_t == BiasType.NONE:
-      bias = jnp.zeros((), dtype)
-    elif bias_t == BiasType.AFFINE:
-      bias = bp[0] + bp[1] * d.actuator_length[u] + bp[2] * vel[u]
-    else:
-      raise NotImplementedError(f'biastype {bias_t}')
-    forces.append(gain * input_[u] + bias)
-  force = jnp.stack(forces)
+  # gain / bias (vectorized: FIXED/AFFINE via masks)
+  gt = np.asarray(m.actuator_gaintype)
+  bt = np.asarray(m.actuator_biastype)
+  if not np.isin(gt, [int(GainType.FIXED), int(GainType.AFFINE)]).all():
+    raise NotImplementedError(f'gaintype {GainType(int(gt.max()))}')
+  if not np.isin(bt, [int(BiasType.NONE), int(BiasType.AFFINE)]).all():
+    raise NotImplementedError(f'biastype {BiasType(int(bt.max()))}')
+  gp = jnp.asarray(m.actuator_gainprm, dtype)
+  bp = jnp.asarray(m.actuator_biasprm, dtype)
+  gain_affine = gp[:, 0] + gp[:, 1] * d.actuator_length + gp[:, 2] * vel
+  gain = jnp.where(jnp.asarray(gt == int(GainType.FIXED)),
+                   gp[:, 0], gain_affine)
+  bias_affine = bp[:, 0] + bp[:, 1] * d.actuator_length + bp[:, 2] * vel
+  bias = jnp.where(jnp.asarray(bt == int(BiasType.NONE)),
+                   0.0, bias_affine)
+  force = gain * input_ + bias
 
   if m.actuator_forcelimited.any():
     lo = jnp.asarray(m.actuator_forcerange[:, 0], dtype)
@@ -306,13 +329,12 @@ def actuation(m: Model, d: Data) -> Data:
 
   # clamp per-joint total actuator force (jnt_actfrcrange)
   if m.njnt and m.jnt_actfrclimited.any():
-    for j in range(m.njnt):
-      if not m.jnt_actfrclimited[j]:
-        continue
-      adr = int(m.jnt_dofadr[j])
-      lo, hi = m.jnt_actfrcrange[j]
-      qfrc_actuator = qfrc_actuator.at[adr].set(
-          jnp.clip(qfrc_actuator[adr], lo, hi))
+    sel = np.where(m.jnt_actfrclimited)[0]
+    adr = m.jnt_dofadr[sel]
+    lo = jnp.asarray(m.jnt_actfrcrange[sel, 0], dtype)
+    hi = jnp.asarray(m.jnt_actfrcrange[sel, 1], dtype)
+    qfrc_actuator = qfrc_actuator.at[adr].set(
+        jnp.clip(qfrc_actuator[adr], lo, hi))
 
   return d.replace(actuator_velocity=vel, actuator_force=force,
                    act_dot=act_dot, qfrc_actuator=qfrc_actuator)
@@ -424,17 +446,17 @@ def _energy(m: Model, d: Data) -> Data:
   gravity = jnp.asarray(m.opt.gravity, dtype)
   mass = jnp.asarray(m.body_mass, dtype)
   potential = -jnp.einsum('b,bx,x->', mass, d.xipos, gravity)
-  # spring potential
+  # spring potential (vectorized over slide/hinge joints)
+  from dm_control_tpu._src import tree
+  tr = tree.get(m)
   qpos_spring = jnp.asarray(m.qpos_spring, dtype)
-  for j in range(m.njnt):
-    k = float(m.jnt_stiffness[j])
-    if k == 0.0:
-      continue
-    jtype = JointType(int(m.jnt_type[j]))
-    qadr = int(m.jnt_qposadr[j])
-    if jtype in (JointType.SLIDE, JointType.HINGE):
-      dif = d.qpos[qadr] - qpos_spring[qadr]
-      potential = potential + 0.5 * k * dif * dif
+  hs = (tr.hs_jids[m.jnt_stiffness[tr.hs_jids] > 0]
+        if len(tr.hs_jids) else tr.hs_jids)
+  if len(hs):
+    qadr = m.jnt_qposadr[hs]
+    k = jnp.asarray(m.jnt_stiffness[hs], dtype)
+    dif = d.qpos[qadr] - qpos_spring[qadr]
+    potential = potential + 0.5 * jnp.sum(k * dif * dif)
   kinetic = 0.5 * d.qvel @ (d.qM @ d.qvel) if m.nv else jnp.zeros((), dtype)
   return d.replace(energy=jnp.stack([potential, kinetic]))
 
@@ -446,25 +468,24 @@ def _energy(m: Model, d: Data) -> Data:
 
 def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
                    dt) -> jax.Array:
-  """Advance qpos by qvel*dt with quaternion handling per joint type."""
-  parts = []
-  for j in range(m.njnt):
-    jtype = JointType(int(m.jnt_type[j]))
-    qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
-    if jtype == JointType.FREE:
-      pos = qpos[qadr:qadr + 3] + dt * qvel[dadr:dadr + 3]
-      quat = math.quat_integrate(
-          qpos[qadr + 3:qadr + 7], qvel[dadr + 3:dadr + 6], dt)
-      parts.append(pos)
-      parts.append(quat)
-    elif jtype == JointType.BALL:
-      parts.append(math.quat_integrate(
-          qpos[qadr:qadr + 4], qvel[dadr:dadr + 3], dt))
-    else:
-      parts.append(qpos[qadr:qadr + 1] + dt * qvel[dadr:dadr + 1])
-  if not parts:
-    return qpos
-  return jnp.concatenate(parts)
+  """Advance qpos by qvel*dt with quaternion handling, one batched op per
+  joint-type group."""
+  from dm_control_tpu._src import tree
+  tr = tree.get(m)
+  out = qpos
+  if len(tr.hs_jids):
+    out = out.at[tr.hs_qadr].set(
+        qpos[tr.hs_qadr] + dt * qvel[tr.hs_dadr])
+  if len(tr.ball_jids):
+    out = out.at[tr.ball_qmat].set(math.quat_integrate(
+        qpos[tr.ball_qmat], qvel[tr.ball_dmat], dt))
+  if len(tr.free_jids):
+    q = qpos[tr.free_qmat]
+    v = qvel[tr.free_dmat]
+    pos = q[:, :3] + dt * v[:, :3]
+    quat = math.quat_integrate(q[:, 3:7], v[:, 3:6], dt)
+    out = out.at[tr.free_qmat].set(jnp.concatenate([pos, quat], axis=1))
+  return out
 
 
 def _advance(m: Model, d: Data, qacc: jax.Array,

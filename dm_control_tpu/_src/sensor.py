@@ -82,50 +82,35 @@ def rne_postconstraint(m: Model, d: Data):
 
 
 def _contact_forces(m: Model, d: Data) -> jax.Array:
-  """(ncon, 3) contact-frame force for each padded contact row."""
-  from dm_control_tpu._src import collision as coll
-  from dm_control_tpu._src.types import ConeType
+  """(ncon, 3) contact-frame force for each padded contact row.
+
+  Decodes efc_force back to contact-frame (normal, t1, t2) using the
+  static efc layout: elliptic rows map 1:1; pyramidal edge forces are
+  recombined (normal = sum of edge magnitudes, tangent = mu (f+ - f-)),
+  matching the reference's mj_contactForce decode."""
+  from dm_control_tpu._src import efc as efc_mod
   dtype = d.qpos.dtype
   ncon = d.contact.dist.shape[0]
   forces = jnp.zeros((ncon, 3), dtype)
-  # walk the efc rows in the same static order as constraint assembly
-  idx_con = 0
-  # rows before contacts:
-  row = _num_noncontact_rows(m)
-  for g1, g2, p, npoints in coll._pair_entries(m):
-    condim = p['condim'] if p else coll._pair_condim(m, g1, g2)
-    for k in range(npoints):
-      i = idx_con + k
-      if condim == 1:
-        forces = forces.at[i, 0].add(d.efc_force[row])
-        row += 1
-      else:
-        mu = d.contact.friction[i]
-        nfr = condim - 1
-        for t in range(min(nfr, 2)):
-          fplus = d.efc_force[row + 2 * t]
-          fminus = d.efc_force[row + 2 * t + 1]
-          # edge force n + mu t: normal adds lambda, tangent adds mu*lambda
-          forces = forces.at[i, 0].add(fplus + fminus)
-          forces = forces.at[i, 1 + t].add(mu[t] * (fplus - fminus))
-        row += 2 * nfr
-    idx_con += npoints
+  lay = efc_mod.layout(m)
+  c = lay.contact
+  if c is None or not c.ncon:
+    return forces
+  if c.nrm_row.size:
+    forces = forces.at[c.nrm_con, 0].add(d.efc_force[c.nrm_row])
+  if c.ellf_row.size:
+    sel = c.ellf_dir < 2
+    forces = forces.at[c.ellf_con[sel], 1 + c.ellf_dir[sel]].add(
+        d.efc_force[c.ellf_row[sel]])
+  if c.pyr_row.size:
+    f = d.efc_force[c.pyr_row]
+    forces = forces.at[c.pyr_con, 0].add(f)
+    sel = c.pyr_dir < 2
+    mu_sign = jnp.asarray(
+        c.friction[c.pyr_con[sel], c.pyr_dir[sel]] * c.pyr_sign[sel], dtype)
+    forces = forces.at[c.pyr_con[sel], 1 + c.pyr_dir[sel]].add(
+        mu_sign * f[sel])
   return forces
-
-
-def _num_noncontact_rows(m: Model) -> int:
-  n = 0
-  if m.opt.disableflags & DisableBit.CONSTRAINT:
-    return 0
-  if not (m.opt.disableflags & DisableBit.EQUALITY):
-    for i in range(m.neq):
-      n += {0: 3, 1: 6, 2: 1, 3: 1}[int(m.eq_type[i])]
-  if not (m.opt.disableflags & DisableBit.FRICTIONLOSS):
-    n += int((m.dof_frictionloss > 0).sum()) if m.nv else 0
-  if not (m.opt.disableflags & DisableBit.LIMIT):
-    n += int(m.jnt_limited.sum()) if m.njnt else 0
-    n += int(m.tendon_limited.sum()) if m.ntendon else 0
-  return n
 
 
 def _object_pos_mat(m: Model, d: Data, objtype: int, objid: int):

@@ -37,6 +37,7 @@ def set_const(m: Model) -> Model:
         dof_invweight0=jnp.diag(minv),
         ten_length=d.ten_length,
         actuator_length=d.actuator_length,
+        meaninertia=jnp.trace(d.qM) / m.nv,
     )
     # body invweights: mean diagonal of J M^-1 J^T at body com
     biw = []
@@ -55,7 +56,19 @@ def set_const(m: Model) -> Model:
     return out
 
   res = jax.jit(stats)(jnp.asarray(m.qpos0))
-  m.dof_invweight0 = np.asarray(res['dof_invweight0'], np.float64)
+  m.dof_invweight0 = np.array(res['dof_invweight0'], np.float64)
+  # the reference averages dof invweights within ball / free-joint triples
+  # (verified against oracle dof_invweight0 on free-root models)
+  from dm_control_tpu._src.types import JointType
+  for j in range(m.njnt):
+    jt = JointType(int(m.jnt_type[j]))
+    adr = int(m.jnt_dofadr[j])
+    if jt == JointType.BALL:
+      m.dof_invweight0[adr:adr + 3] = m.dof_invweight0[adr:adr + 3].mean()
+    elif jt == JointType.FREE:
+      m.dof_invweight0[adr:adr + 3] = m.dof_invweight0[adr:adr + 3].mean()
+      m.dof_invweight0[adr + 3:adr + 6] = (
+          m.dof_invweight0[adr + 3:adr + 6].mean())
   m.body_invweight0 = np.asarray(res['body_invweight0'], np.float64)
   m.tendon_length0 = np.asarray(res['ten_length'], np.float64)
   m.actuator_length0 = np.asarray(res['actuator_length'], np.float64)
@@ -63,4 +76,8 @@ def set_const(m: Model) -> Model:
     m.tendon_invweight0 = np.asarray(res['tendon_invweight0'], np.float64)
   if m.nu:
     m.actuator_acc0 = np.asarray(res['actuator_acc0'], np.float64)
+  m.stat_meaninertia = float(res['meaninertia'])
+  # any efc layout cached during this pass saw placeholder invweights;
+  # layouts are structural-only now, but drop it anyway for hygiene.
+  m.__dict__.pop('_efc_layout', None)
   return m

@@ -43,68 +43,81 @@ def mparam(m: Model, d: Data, name: str) -> jnp.ndarray:
 
 
 def kinematics(m: Model, d: Data) -> Data:
-  """Body/geom/site poses from qpos (reference stage: mj_kinematics)."""
+  """Body/geom/site poses from qpos (reference stage: mj_kinematics).
+
+  Bodies are processed level-by-level with one batched computation per
+  (level, joint-signature) group — XLA graph size is O(tree depth), not
+  O(nbody)."""
+  from dm_control_tpu._src import tree
+  tr = tree.get(m)
   dtype = d.qpos.dtype
   qpos = d.qpos
   qpos0 = jnp.asarray(m.qpos0, dtype)
-
-  xpos = [jnp.zeros(3, dtype)]
-  xquat = [jnp.array([1.0, 0, 0, 0], dtype)]
-  xmat = [jnp.eye(3, dtype=dtype)]
 
   body_pos = mparam(m, d, 'body_pos')
   body_quat = mparam(m, d, 'body_quat')
   jnt_pos = jnp.asarray(m.jnt_pos, dtype)
   jnt_axis = jnp.asarray(m.jnt_axis, dtype)
 
-  xanchor = [None] * m.njnt
-  xaxis = [None] * m.njnt
+  xpos = jnp.zeros((m.nbody, 3), dtype)
+  xquat = jnp.zeros((m.nbody, 4), dtype).at[0, 0].set(1.0)
+  xanchor = jnp.zeros((m.njnt, 3), dtype)
+  xaxis = jnp.zeros((m.njnt, 3), dtype)
 
-  for i in range(1, m.nbody):
-    p = int(m.body_parentid[i])
-    jadr, jnum = int(m.body_jntadr[i]), int(m.body_jntnum[i])
-
-    if (jnum == 1 and m.jnt_type[jadr] == JointType.FREE):
-      adr = int(m.jnt_qposadr[jadr])
-      pos = qpos[adr:adr + 3]
-      quat = math.normalize(qpos[adr + 3:adr + 7])
-      xanchor[jadr] = pos
-      xaxis[jadr] = jnt_axis[jadr]
+  for grp in tr.kin_groups:
+    ids = grp['ids']
+    jids = grp['jids']
+    if grp['free']:
+      q = qpos[grp['qadr']]                      # (nb, 7)
+      pos = q[:, :3]
+      quat = math.normalize(q[:, 3:7])
+      anchors = pos[:, None, :]
+      axes = jnt_axis[jids]
     else:
-      # frame from parent
-      pos = xpos[p] + math.quat_rotate(xquat[p], body_pos[i])
-      quat = math.quat_mul(xquat[p], body_quat[i])
-      for k in range(jnum):
-        j = jadr + k
-        jtype = JointType(int(m.jnt_type[j]))
-        adr = int(m.jnt_qposadr[j])
-        anchor = math.quat_rotate(quat, jnt_pos[j]) + pos
-        axis = math.quat_rotate(quat, jnt_axis[j])
-        xanchor[j] = anchor
-        xaxis[j] = axis
+      ppos = xpos[grp['par']]
+      pquat = xquat[grp['par']]
+      pos = ppos + math.quat_rotate(pquat, body_pos[ids])
+      quat = math.quat_mul(pquat, body_quat[ids])
+      anchor_l, axis_l = [], []
+      q_g = qpos[grp['qadr']] if grp['qadr'].size else None
+      q0_g = qpos0[grp['qadr']] if grp['qadr'].size else None
+      off = 0
+      for k, jtype in enumerate(grp['sig']):
+        jp = jnt_pos[jids[:, k]]                 # (nb, 3)
+        ja = jnt_axis[jids[:, k]]
+        anchor = math.quat_rotate(quat, jp) + pos
+        axis = math.quat_rotate(quat, ja)
+        anchor_l.append(anchor)
+        axis_l.append(axis)
         if jtype == JointType.SLIDE:
-          pos = pos + axis * (qpos[adr] - qpos0[adr])
+          pos = pos + axis * (q_g[:, off] - q0_g[:, off])[:, None]
+          off += 1
         elif jtype == JointType.HINGE:
-          angle = qpos[adr] - qpos0[adr]
-          qloc = math.axis_angle_to_quat(jnt_axis[j], angle)
+          angle = q_g[:, off] - q0_g[:, off]
+          qloc = math.axis_angle_to_quat(ja, angle)
           quat = math.quat_mul(quat, qloc)
           # rotation is about the anchor, not the frame origin
-          pos = anchor - math.quat_rotate(quat, jnt_pos[j])
+          pos = anchor - math.quat_rotate(quat, jp)
+          off += 1
         elif jtype == JointType.BALL:
-          qloc = math.normalize(qpos[adr:adr + 4])
+          qloc = math.normalize(q_g[:, off:off + 4])
           quat = math.quat_mul(quat, qloc)
-          pos = anchor - math.quat_rotate(quat, jnt_pos[j])
+          pos = anchor - math.quat_rotate(quat, jp)
+          off += 4
         else:
           raise NotImplementedError('free joint must be the only joint')
+      quat = math.normalize(quat)
+      anchors = (jnp.stack(anchor_l, axis=1) if anchor_l
+                 else jnp.zeros((len(ids), 0, 3), dtype))
+      axes = (jnp.stack(axis_l, axis=1) if axis_l
+              else jnp.zeros((len(ids), 0, 3), dtype))
+    xpos = xpos.at[ids].set(pos)
+    xquat = xquat.at[ids].set(quat)
+    if jids.size:
+      xanchor = xanchor.at[jids].set(anchors)
+      xaxis = xaxis.at[jids].set(axes)
 
-    quat = math.normalize(quat)
-    xpos.append(pos)
-    xquat.append(quat)
-    xmat.append(math.quat_to_mat(quat))
-
-  xpos = jnp.stack(xpos)
-  xquat = jnp.stack(xquat)
-  xmat = jnp.stack(xmat)
+  xmat = math.quat_to_mat(xquat)
 
   # inertial frames
   body_ipos = jnp.asarray(m.body_ipos, dtype)
@@ -127,18 +140,11 @@ def kinematics(m: Model, d: Data) -> Data:
       'sij,sjk->sik', xmat[sb],
       math.quat_to_mat(jnp.asarray(m.site_quat, dtype)))
 
-  if m.njnt:
-    xanchor_a = jnp.stack(xanchor)
-    xaxis_a = jnp.stack(xaxis)
-  else:
-    xanchor_a = jnp.zeros((0, 3), dtype)
-    xaxis_a = jnp.zeros((0, 3), dtype)
-
   return d.replace(
       xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos, ximat=ximat,
       geom_xpos=geom_xpos, geom_xmat=geom_xmat,
       site_xpos=site_xpos, site_xmat=site_xmat,
-      xanchor=xanchor_a, xaxis=xaxis_a)
+      xanchor=xanchor, xaxis=xaxis)
 
 
 # ---------------------------------------------------------------------------
@@ -147,20 +153,13 @@ def kinematics(m: Model, d: Data) -> Data:
 
 
 def com_pos(m: Model, d: Data) -> Data:
+  from dm_control_tpu._src import tree
+  tr = tree.get(m)
   dtype = d.qpos.dtype
   mass = jnp.asarray(m.body_mass, dtype)
 
-  # subtree com: mass-weighted mean over each body's subtree.
-  # subtree_mask[b, b2] = 1 if b2 in subtree(b); built at trace time.
-  sub_mask = np.zeros((m.nbody, m.nbody))
-  for b2 in range(m.nbody):
-    b = b2
-    while True:
-      sub_mask[b, b2] = 1.0
-      if b == 0:
-        break
-      b = int(m.body_parentid[b])
-  sub_mask = jnp.asarray(sub_mask, dtype)
+  # subtree com: mass-weighted mean over each body's subtree (static mask)
+  sub_mask = jnp.asarray(tr.subtree_mask, dtype)
   wpos = mass[:, None] * d.xipos
   subtree_mass = sub_mask @ mass
   subtree_com = (sub_mask @ wpos) / jnp.maximum(
@@ -174,35 +173,41 @@ def com_pos(m: Model, d: Data) -> Data:
   # world body: zero
   cinert = cinert.at[0].set(0.0)
 
-  # cdof
-  if m.nv:
-    xanchor, xaxis = d.xanchor, d.xaxis
-    cdofs = []
-    for j in range(m.njnt):
-      jtype = JointType(int(m.jnt_type[j]))
-      bodyid = int(m.jnt_bodyid[j])
-      offset = xanchor[j] - root_com[bodyid]
-      if jtype == JointType.FREE:
-        for k in range(3):
-          e = jnp.zeros(6, dtype).at[3 + k].set(1.0)
-          cdofs.append(e)
-        # rotational dofs: body-frame axes, anchored at body frame origin
-        off = d.xpos[bodyid] - root_com[bodyid]
-        for k in range(3):
-          ax = d.xmat[bodyid, :, k]
-          cdofs.append(jnp.concatenate([ax, jnp.cross(off, ax)]))
-      elif jtype == JointType.BALL:
-        for k in range(3):
-          ax = d.xmat[bodyid, :, k]
-          cdofs.append(jnp.concatenate([ax, jnp.cross(offset, ax)]))
-      elif jtype == JointType.SLIDE:
-        cdofs.append(jnp.concatenate([jnp.zeros(3, dtype), xaxis[j]]))
-      elif jtype == JointType.HINGE:
-        cdofs.append(
-            jnp.concatenate([xaxis[j], jnp.cross(offset, xaxis[j])]))
-    cdof = jnp.stack(cdofs)
-  else:
-    cdof = jnp.zeros((0, 6), dtype)
+  # cdof, one batched computation per joint-type group
+  cdof = jnp.zeros((m.nv, 6), dtype)
+  if len(tr.slide_jids):
+    jid = tr.slide_jids
+    rows = jnp.concatenate(
+        [jnp.zeros((len(jid), 3), dtype), d.xaxis[jid]], axis=1)
+    cdof = cdof.at[m.jnt_dofadr[jid]].set(rows)
+  if len(tr.hinge_jids):
+    jid = tr.hinge_jids
+    offset = d.xanchor[jid] - root_com[m.jnt_bodyid[jid]]
+    ax = d.xaxis[jid]
+    rows = jnp.concatenate([ax, jnp.cross(offset, ax)], axis=1)
+    cdof = cdof.at[m.jnt_dofadr[jid]].set(rows)
+  if len(tr.ball_jids):
+    jid = tr.ball_jids
+    bid = m.jnt_bodyid[jid]
+    offset = d.xanchor[jid] - root_com[bid]          # (nb, 3)
+    axes = d.xmat[bid].swapaxes(-1, -2)              # (nb, 3 axes, 3)
+    rows = jnp.concatenate(
+        [axes, jnp.cross(offset[:, None, :], axes)], axis=-1)  # (nb,3,6)
+    cdof = cdof.at[tr.ball_dmat].set(rows)
+  if len(tr.free_jids):
+    jid = tr.free_jids
+    bid = m.jnt_bodyid[jid]
+    nb = len(jid)
+    trans = jnp.broadcast_to(
+        jnp.concatenate([jnp.zeros((3, 3), dtype),
+                         jnp.eye(3, dtype=dtype)], axis=1)[None],
+        (nb, 3, 6))
+    off = d.xpos[bid] - root_com[bid]
+    axes = d.xmat[bid].swapaxes(-1, -2)
+    rot = jnp.concatenate(
+        [axes, jnp.cross(off[:, None, :], axes)], axis=-1)
+    cdof = cdof.at[tr.free_dmat].set(
+        jnp.concatenate([trans, rot], axis=1))
 
   return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
 
@@ -213,18 +218,12 @@ def com_pos(m: Model, d: Data) -> Data:
 
 
 def crb(m: Model, d: Data) -> Data:
+  from dm_control_tpu._src import tree
+  tr = tree.get(m)
   dtype = d.qpos.dtype
-  # composite inertia per body: sum of cinert over subtree.
-  sub_mask = np.zeros((m.nbody, m.nbody))
-  for b2 in range(m.nbody):
-    b = b2
-    while True:
-      sub_mask[b, b2] = 1.0
-      if b == 0:
-        break
-      b = int(m.body_parentid[b])
+  # composite inertia per body: sum of cinert over subtree (static mask).
   crb_inert = jnp.einsum(
-      'bc,cd->bd', jnp.asarray(sub_mask, dtype), d.cinert)
+      'bc,cd->bd', jnp.asarray(tr.subtree_mask, dtype), d.cinert)
 
   if m.nv == 0:
     return d.replace(qM=jnp.zeros((0, 0), dtype), qLD=jnp.zeros((0, 0), dtype))
@@ -260,49 +259,23 @@ def solve_m(m: Model, d: Data, x: jax.Array) -> jax.Array:
 
 
 def com_vel(m: Model, d: Data) -> Data:
+  """Body spatial velocities + cdof time-derivatives (mj_comVel analog).
+
+  The tree prefix-sums become two constant-mask matmuls: cvel[b] sums
+  qvel*cdof over the dofs on b's path; cdof_dot[i] crosses cdof[i] with
+  the velocity accumulated strictly before dof i (tree.dof_before)."""
+  from dm_control_tpu._src import tree
+  tr = tree.get(m)
   dtype = d.qpos.dtype
-  cvel = [jnp.zeros(6, dtype)]
-  cdof_dot = [None] * m.nv
-  for i in range(1, m.nbody):
-    p = int(m.body_parentid[i])
-    v = cvel[p]
-    adr, n = int(m.body_dofadr[i]), int(m.body_dofnum[i])
-    jadr, jnum = int(m.body_jntadr[i]), int(m.body_jntnum[i])
-    if n == 0:
-      cvel.append(v)
-      continue
-    # iterate joints of this body, accumulating velocity; cdof_dot of a dof
-    # uses the velocity accumulated *before* that dof's own contribution,
-    # except ball/free rotational triples which use the full local spin.
-    dof = adr
-    for k in range(jnum):
-      j = jadr + k
-      jtype = JointType(int(m.jnt_type[j]))
-      if jtype == JointType.FREE:
-        # translations contribute no cdof_dot
-        for t in range(3):
-          cdof_dot[dof + t] = jnp.zeros(6, dtype)
-        v = v + jnp.einsum('k,kx->x', d.qvel[dof:dof + 3],
-                           d.cdof[dof:dof + 3])
-        # rotations: cdof_dot = v x cdof (v including translations)
-        for t in range(3, 6):
-          cdof_dot[dof + t] = math.motion_cross(v, d.cdof[dof + t])
-        v = v + jnp.einsum('k,kx->x', d.qvel[dof + 3:dof + 6],
-                           d.cdof[dof + 3:dof + 6])
-        dof += 6
-      elif jtype == JointType.BALL:
-        for t in range(3):
-          cdof_dot[dof + t] = math.motion_cross(v, d.cdof[dof + t])
-        v = v + jnp.einsum('k,kx->x', d.qvel[dof:dof + 3],
-                           d.cdof[dof:dof + 3])
-        dof += 3
-      else:
-        cdof_dot[dof] = math.motion_cross(v, d.cdof[dof])
-        v = v + d.qvel[dof] * d.cdof[dof]
-        dof += 1
-    cvel.append(v)
-  cvel = jnp.stack(cvel)
-  cdof_dot = (jnp.stack(cdof_dot) if m.nv else jnp.zeros((0, 6), dtype))
+  if m.nv == 0:
+    return d.replace(cvel=jnp.zeros((m.nbody, 6), dtype),
+                     cdof_dot=jnp.zeros((0, 6), dtype))
+  vc = d.qvel[:, None] * d.cdof                      # (nv, 6)
+  cvel = jnp.asarray(m.body_dof_mask, dtype) @ vc    # (nbody, 6)
+  v_before = jnp.asarray(tr.dof_before, dtype) @ vc  # (nv, 6)
+  cdof_dot = math.motion_cross(v_before, d.cdof)
+  cdof_dot = jnp.where(
+      jnp.asarray(tr.free_trans)[:, None], 0.0, cdof_dot)
   return d.replace(cvel=cvel, cdof_dot=cdof_dot)
 
 
@@ -346,45 +319,65 @@ def rne(m: Model, d: Data) -> Data:
 
 
 def tendon(m: Model, d: Data) -> Data:
+  """Tendon lengths/Jacobians: fixed tendons as one segment-sum, spatial
+  site-chain tendons as one batched segment computation."""
   dtype = d.qpos.dtype
   if m.ntendon == 0:
     return d
-  lengths = []
-  jacs = []
-  mask = jnp.asarray(m.body_dof_mask, dtype)
+  ten_length = jnp.zeros(m.ntendon, dtype)
+  ten_j = jnp.zeros((m.ntendon, m.nv), dtype)
+
+  # static wrap metadata
+  fw_tid, fw_wid = [], []
+  sp_tid, sp_s1, sp_s2 = [], [], []
   for t in range(m.ntendon):
     adr, num = int(m.tendon_adr[t]), int(m.tendon_num[t])
     wtypes = m.wrap_type[adr:adr + num]
     if all(w == 0 for w in wtypes):  # fixed: joint entries
-      length = jnp.zeros((), dtype)
-      jac = jnp.zeros(m.nv, dtype)
-      wrap_prm = mparam(m, d, 'wrap_prm')
       for w in range(adr, adr + num):
-        j = int(m.wrap_objid[w])
-        coef = wrap_prm[w]
-        qadr = int(m.jnt_qposadr[j])
-        dadr = int(m.jnt_dofadr[j])
-        length = length + coef * d.qpos[qadr]
-        jac = jac.at[dadr].add(coef)
-      lengths.append(length)
-      jacs.append(jac)
+        fw_tid.append(t)
+        fw_wid.append(w)
     else:  # spatial with site via-points
-      length = jnp.zeros((), dtype)
-      jac = jnp.zeros(m.nv, dtype)
       for w in range(adr, adr + num - 1):
-        s1, s2 = int(m.wrap_objid[w]), int(m.wrap_objid[w + 1])
-        p1, p2 = d.site_xpos[s1], d.site_xpos[s2]
-        diff = p2 - p1
-        seg_len = math.norm_safe(diff)
-        dir_ = diff / jnp.maximum(seg_len, 1e-12)
-        length = length + seg_len
-        j1 = _point_jacobian(m, d, p1, int(m.site_bodyid[s1]), mask)
-        j2 = _point_jacobian(m, d, p2, int(m.site_bodyid[s2]), mask)
-        jac = jac + (j2 - j1) @ dir_
-      lengths.append(length)
-      jacs.append(jac)
-  ten_length = jnp.stack(lengths)
-  ten_j = jnp.stack(jacs)
+        sp_tid.append(t)
+        sp_s1.append(int(m.wrap_objid[w]))
+        sp_s2.append(int(m.wrap_objid[w + 1]))
+
+  if fw_tid:
+    fw_tid = np.asarray(fw_tid, np.int32)
+    fw_wid = np.asarray(fw_wid, np.int32)
+    jid = m.wrap_objid[fw_wid]
+    wrap_prm = mparam(m, d, 'wrap_prm')
+    coef = wrap_prm[fw_wid]
+    contrib = coef * d.qpos[m.jnt_qposadr[jid]]
+    ten_length = ten_length.at[fw_tid].add(contrib)
+    ten_j = ten_j.at[(fw_tid, m.jnt_dofadr[jid])].add(coef)
+
+  if sp_tid:
+    sp_tid = np.asarray(sp_tid, np.int32)
+    sp_s1 = np.asarray(sp_s1, np.int32)
+    sp_s2 = np.asarray(sp_s2, np.int32)
+    p1 = d.site_xpos[sp_s1]
+    p2 = d.site_xpos[sp_s2]
+    diff = p2 - p1
+    seg_len = math.norm_safe(diff)
+    dir_ = diff / jnp.maximum(seg_len, 1e-12)[:, None]
+    ten_length = ten_length.at[sp_tid].add(seg_len)
+
+    def point_jacs(pts, bodies):
+      mask = jnp.asarray(m.body_dof_mask[bodies], dtype)  # (ns, nv)
+      offset = pts - d.subtree_com[m.body_rootid[bodies]]
+      ns = len(bodies)
+      jp = (d.cdof[None, :, 3:] + jnp.cross(
+          jnp.broadcast_to(d.cdof[None, :, :3], (ns, m.nv, 3)),
+          jnp.broadcast_to(offset[:, None, :], (ns, m.nv, 3))))
+      return jp * mask[:, :, None]
+
+    j1 = point_jacs(p1, m.site_bodyid[sp_s1])
+    j2 = point_jacs(p2, m.site_bodyid[sp_s2])
+    contrib = jnp.einsum('svx,sx->sv', j2 - j1, dir_)
+    ten_j = ten_j.at[sp_tid].add(contrib)
+
   ten_velocity = ten_j @ d.qvel if m.nv else jnp.zeros(m.ntendon, dtype)
   return d.replace(ten_length=ten_length, ten_J=ten_j,
                    ten_velocity=ten_velocity)
@@ -416,39 +409,48 @@ def jac(m: Model, d: Data, point: jax.Array,
 
 
 def transmission(m: Model, d: Data) -> Data:
+  """Actuator lengths/moments, one batched op per transmission group."""
   from dm_control_tpu._src.types import TrnType
   dtype = d.qpos.dtype
   if m.nu == 0:
     return d.replace(
         actuator_length=jnp.zeros(0, dtype),
         actuator_moment=jnp.zeros((0, m.nv), dtype))
-  lengths = []
-  moments = []
-  for u in range(m.nu):
-    trntype = TrnType(int(m.actuator_trntype[u]))
-    gear = jnp.asarray(m.actuator_gear[u], dtype)
-    if trntype in (TrnType.JOINT, TrnType.JOINTINPARENT):
-      j = int(m.actuator_trnid[u, 0])
-      jtype = JointType(int(m.jnt_type[j]))
-      qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
-      if jtype in (JointType.SLIDE, JointType.HINGE):
-        lengths.append(d.qpos[qadr] * gear[0])
-        moments.append(jnp.zeros(m.nv, dtype).at[dadr].set(gear[0]))
-      elif jtype == JointType.BALL:
-        # length 0; moment = gear[:3] in joint-local axes
-        lengths.append(jnp.zeros((), dtype))
-        mom = jnp.zeros(m.nv, dtype)
-        mom = mom.at[dadr:dadr + 3].set(gear[:3])
-        moments.append(mom)
-      else:  # FREE
-        lengths.append(jnp.zeros((), dtype))
-        mom = jnp.zeros(m.nv, dtype).at[dadr:dadr + 6].set(gear[:6])
-        moments.append(mom)
-    elif trntype == TrnType.TENDON:
-      t = int(m.actuator_trnid[u, 0])
-      lengths.append(d.ten_length[t] * gear[0])
-      moments.append(d.ten_J[t] * gear[0])
-    else:
-      raise NotImplementedError(f'transmission {trntype}')
-  return d.replace(actuator_length=jnp.stack(lengths),
-                   actuator_moment=jnp.stack(moments))
+  trn = np.asarray(m.actuator_trntype)
+  known = np.isin(trn, [int(TrnType.JOINT), int(TrnType.JOINTINPARENT),
+                        int(TrnType.TENDON)])
+  if not known.all():
+    raise NotImplementedError(
+        f'transmission {TrnType(int(trn[~known][0]))}')
+  lengths = jnp.zeros(m.nu, dtype)
+  moments = jnp.zeros((m.nu, m.nv), dtype)
+
+  jsel = np.where((trn == int(TrnType.JOINT))
+                  | (trn == int(TrnType.JOINTINPARENT)))[0]
+  if len(jsel):
+    jid = m.actuator_trnid[jsel, 0]
+    jt = m.jnt_type[jid]
+    hs = jsel[np.isin(jt, [int(JointType.SLIDE), int(JointType.HINGE)])]
+    if len(hs):
+      jj = m.actuator_trnid[hs, 0]
+      g0 = jnp.asarray(m.actuator_gear[hs, 0], dtype)
+      lengths = lengths.at[hs].set(d.qpos[m.jnt_qposadr[jj]] * g0)
+      moments = moments.at[(hs, m.jnt_dofadr[jj])].set(g0)
+    for nvj, sel_t in ((3, int(JointType.BALL)), (6, int(JointType.FREE))):
+      sel = jsel[jt == sel_t]
+      if len(sel):
+        jj = m.actuator_trnid[sel, 0]
+        dmat = (m.jnt_dofadr[jj][:, None]
+                + np.arange(nvj)[None, :]).astype(np.int32)
+        urep = np.repeat(sel[:, None], nvj, axis=1)
+        gear = jnp.asarray(m.actuator_gear[sel, :nvj], dtype)
+        moments = moments.at[(urep, dmat)].set(gear)
+
+  tsel = np.where(trn == int(TrnType.TENDON))[0]
+  if len(tsel):
+    tid = m.actuator_trnid[tsel, 0]
+    g0 = jnp.asarray(m.actuator_gear[tsel, 0], dtype)
+    lengths = lengths.at[tsel].set(d.ten_length[tid] * g0)
+    moments = moments.at[tsel].set(d.ten_J[tid] * g0[:, None])
+
+  return d.replace(actuator_length=lengths, actuator_moment=moments)

@@ -6,79 +6,140 @@ is the reference's convex soft-constraint model:
   min_x  0.5 (x - a)' M (x - a) + sum_i c_i((J x - aref)_i)
 
 with per-row costs c_i: quadratic (equality), one-sided quadratic
-(limits / pyramidal contact edges), and Huber-style (dof friction loss).
+(limits / pyramidal contact edges), Huber-style (dof/tendon friction loss),
+and — for elliptic cones — a per-contact second-order-cone cost with the
+reference's three zones (verified against the oracle's qacc on
+finger/manipulator-class models):
+
+  top    (n >= mu t):     0
+  bottom (mu n <= -t):    0.5 D (n^2 + t^2)        [fully quadratic]
+  middle:                 0.5 D (mu t - n)^2 / (1 + mu^2)
+
+where (n, t) are the normal / tangential-norm components of the
+friction-scaled row residuals (efc.layout holds the static scaling).
 Because the problem is strictly convex, Newton converges to the same
 solution as the reference's chosen solver regardless of its `solver=`
 option — parity is on the solution, not the algorithm.
 
 TPU design: dense (nv x nv) Hessian + batched Cholesky per Newton step,
-fixed iteration counts, branch-free guarded-bisection exact line search.
+`opt.iterations`-bounded while-loop with the reference's scaled-improvement
+early exit, branch-free guarded-bisection exact line search.  Elliptic
+contact blocks enter the Hessian as (condim x condim) einsum blocks —
+MXU-friendly, no scatter in the hot loop.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dm_control_tpu._src import efc
 from dm_control_tpu._src.types import Data, DisableBit, Model
 
-# row cost types (static per model)
-EQUALITY = 0
-FRICTION = 1
-ONESIDED = 2
-
-_ROW_TYPES = {}  # id(model) -> np.ndarray of row types
-
-
-def register_row_types(m: Model, types):
-  _ROW_TYPES[id(m)] = np.asarray(types, np.int32)
+# legacy aliases (kernel + tests import these from here)
+EQUALITY = efc.EQUALITY
+FRICTION = efc.FRICTION
+ONESIDED = efc.ONESIDED
+ELLIPTIC = efc.ELLIPTIC
 
 
 def row_types(m: Model) -> np.ndarray:
-  cached = _ROW_TYPES.get(id(m))
-  if cached is not None and cached.size:
-    return cached
-  from dm_control_tpu._src import constraint as _constraint
-  types = _constraint.static_row_types(m)
-  _ROW_TYPES[id(m)] = types
-  return types
+  return efc.layout(m).types
 
 
-def _forces(jar, d_, fl, types, active):
-  """Constraint force per row = -dc/djar, given row types."""
+def _diag_terms(jar, d_, fl, types, active):
+  """Per-row force / quadratic-zone weight / cost for diagonal row types.
+
+  ELLIPTIC rows contribute nothing here (handled per-contact in
+  _ell_terms); their entries are masked to zero.
+  """
+  is_eq = types == EQUALITY
+  is_fr = types == FRICTION
+  is_one = types == ONESIDED
   f_eq = -d_ * jar
   f_one = jnp.where(jar < 0, -d_ * jar, 0.0)
   f_fr = jnp.clip(-d_ * jar, -fl, fl)
-  f = jnp.where(types == EQUALITY, f_eq,
-                jnp.where(types == FRICTION, f_fr, f_one))
-  return jnp.where(active, f, 0.0)
+  f = jnp.where(is_eq, f_eq, jnp.where(is_fr, f_fr,
+                                       jnp.where(is_one, f_one, 0.0)))
+  f = jnp.where(active, f, 0.0)
 
+  quad = jnp.where(is_eq, True,
+                   jnp.where(is_fr, d_ * jnp.abs(jar) <= fl,
+                             jnp.where(is_one, jar < 0, False)))
+  w = jnp.where(jnp.logical_and(quad, active), d_, 0.0)
 
-def _cost(jar, d_, fl, types, active):
-  c_eq = 0.5 * d_ * jar * jar
-  c_one = jnp.where(jar < 0, 0.5 * d_ * jar * jar, 0.0)
+  c_quad = 0.5 * d_ * jar * jar
   lin = fl * jnp.abs(jar) - 0.5 * fl * fl / jnp.maximum(d_, 1e-14)
-  quad = 0.5 * d_ * jar * jar
-  c_fr = jnp.where(d_ * jnp.abs(jar) <= fl, quad, lin)
-  c = jnp.where(types == EQUALITY, c_eq,
-                jnp.where(types == FRICTION, c_fr, c_one))
-  return jnp.sum(jnp.where(active, c, 0.0))
+  c_fr = jnp.where(d_ * jnp.abs(jar) <= fl, c_quad, lin)
+  c_one = jnp.where(jar < 0, c_quad, 0.0)
+  c = jnp.where(is_eq, c_quad, jnp.where(is_fr, c_fr,
+                                         jnp.where(is_one, c_one, 0.0)))
+  cost = jnp.sum(jnp.where(active, c, 0.0))
+  return f, w, cost
 
 
-def _quad_active(jar, d_, fl, types, active):
-  """Rows currently in their quadratic zone (for the Hessian)."""
-  a_eq = jnp.ones_like(jar, bool)
-  a_one = jar < 0
-  a_fr = d_ * jnp.abs(jar) <= fl
-  a = jnp.where(types == EQUALITY, a_eq,
-                jnp.where(types == FRICTION, a_fr, a_one))
-  return jnp.logical_and(a, active)
+def _ell_terms(lay: efc.Layout, jar, d_, active, dtype):
+  """Per-elliptic-contact zone terms.
+
+  Returns a list of (rows (ncg,k) np, f_rows (ncg,k), W (ncg,k,k)) and the
+  total elliptic cost.  W is the contact-block Hessian of the cost wrt the
+  raw row residuals jar (already unscaled).
+  """
+  out = []
+  total_cost = jnp.zeros((), dtype)
+  for k, (rows, mu_np, scale_np) in lay.ell_groups.items():
+    s = jnp.asarray(scale_np, dtype)             # (ncg, k)
+    mu = jnp.asarray(mu_np, dtype)               # (ncg,)
+    jar_g = jar[rows]                            # (ncg, k)
+    dn = d_[rows[:, 0]]
+    ac = active[rows[:, 0]]
+    y = jar_g * s
+    n = y[:, 0]
+    t2 = jnp.sum(y[:, 1:] ** 2, axis=-1)
+    t = jnp.sqrt(jnp.maximum(t2, 1e-30))
+    mu2p1 = 1.0 + mu * mu
+    top = n >= mu * t
+    bottom = mu * n <= -t
+    mid = jnp.logical_and(~top, ~bottom)
+
+    u = y[:, 1:] / t[:, None]
+    fn_mid = dn * (mu * t - n) / mu2p1
+    f_bot = -dn[:, None] * y
+    f_mid = jnp.concatenate(
+        [fn_mid[:, None], (-mu * fn_mid)[:, None] * u], axis=1)
+    f_sc = jnp.where(bottom[:, None], f_bot,
+                     jnp.where(mid[:, None], f_mid, 0.0))
+    f_rows = f_sc * s * ac[:, None]
+
+    c_bot = 0.5 * dn * (n * n + t2)
+    c_mid = 0.5 * dn * (mu * t - n) ** 2 / mu2p1
+    cost_g = jnp.where(bottom, c_bot, jnp.where(mid, c_mid, 0.0))
+    total_cost = total_cost + jnp.sum(jnp.where(ac, cost_g, 0.0))
+
+    # Hessian blocks
+    eye = jnp.eye(k, dtype=dtype)
+    p_fr = jnp.asarray(np.diag([0.0] + [1.0] * (k - 1)), dtype)
+    v = jnp.concatenate(
+        [jnp.ones_like(n)[:, None], -mu[:, None] * u], axis=1)  # (ncg,k)
+    e = jnp.concatenate([jnp.zeros_like(n)[:, None], u], axis=1)
+    w_mid = ((dn / mu2p1)[:, None, None] * v[:, :, None] * v[:, None, :]
+             + (mu * fn_mid / t)[:, None, None]
+             * (p_fr[None] - e[:, :, None] * e[:, None, :]))
+    w_bot = dn[:, None, None] * eye[None]
+    w_sc = jnp.where(bottom[:, None, None], w_bot,
+                     jnp.where(mid[:, None, None], w_mid, 0.0))
+    w = w_sc * s[:, :, None] * s[:, None, :] * ac[:, None, None]
+    out.append((rows, f_rows, w))
+  return out, total_cost
 
 
 def solve(m: Model, d: Data) -> Data:
   """Compute qacc (and efc forces) from qacc_smooth + constraint rows."""
   dtype = d.qpos.dtype
+  lay = efc.layout(m)
   nefc = d.efc_J.shape[0]
   if (nefc == 0 or m.nv == 0
       or m.opt.disableflags & DisableBit.CONSTRAINT):
@@ -86,92 +147,108 @@ def solve(m: Model, d: Data) -> Data:
                      qacc_warmstart=d.qacc_smooth,
                      qfrc_constraint=jnp.zeros(m.nv, dtype))
 
-  types_np = row_types(m)
-  niter = min(int(m.opt.iterations), 10)
-  core = _get_core(nefc, m.nv, niter, 8, types_np.tobytes())
+  niter = max(int(m.opt.iterations), 1)
+  warm = d.qacc_smooth if (m.opt.disableflags & DisableBit.WARMSTART) else (
+      d.qacc_warmstart)
+  core = _get_core(m, lay, niter, 12)
   x, force = core(d.efc_J, d.qM, d.efc_aref, d.efc_D,
                   d.efc_frictionloss, d.efc_active.astype(dtype),
-                  d.qacc_smooth)
+                  d.qacc_smooth, warm)
   qfrc_constraint = d.efc_J.T @ force
   return d.replace(qacc=x, qfrc_constraint=qfrc_constraint,
                    efc_force=force, qacc_warmstart=x)
 
 
-import functools as _functools
+def _get_core(m: Model, lay: efc.Layout, niter: int, ls_iter: int):
+  """Per-layout solver core: XLA while-loop for a single env; when vmapped
+  on TPU (and the model has no elliptic contacts), dispatches the whole
+  batch to the Pallas VMEM-resident kernel."""
+  key = ('core', niter, ls_iter)
+  cached = lay._cache.get(key)
+  if cached is not None:
+    return cached
 
+  nv = m.nv
+  tol = float(m.opt.tolerance)
 
-@_functools.lru_cache(maxsize=None)
-def _get_core(nefc, nv, niter, ls_iter, types_bytes):
-  """Per-layout solver core: XLA loop for single env; when vmapped on
-  TPU, dispatches the whole batch to the Pallas VMEM-resident kernel."""
-  types_np = np.frombuffer(types_bytes, dtype=np.int32)
+  meaninertia = float(getattr(m, 'stat_meaninertia', 1.0) or 1.0)
 
-  def xla_core(J, M, aref, d_, fl, active, a):
-    return _solve_core_xla(J, M, aref, d_, fl, active, a,
-                           types_np=types_np, niter=niter,
-                           ls_iter=ls_iter)
+  def xla_core(J, M, aref, d_, fl, active, a, warm):
+    return _solve_core_xla(J, M, aref, d_, fl, active, a, warm,
+                           lay=lay, niter=niter, ls_iter=ls_iter, tol=tol,
+                           meaninertia=meaninertia)
 
   @jax.custom_batching.custom_vmap
-  def core(J, M, aref, d_, fl, active, a):
-    return xla_core(J, M, aref, d_, fl, active, a)
+  def core(J, M, aref, d_, fl, active, a, warm):
+    return xla_core(J, M, aref, d_, fl, active, a, warm)
 
   @core.def_vmap
-  def _rule(axis_size, in_batched, J, M, aref, d_, fl, active, a):
-    args = [J, M, aref, d_, fl, active, a]
+  def _rule(axis_size, in_batched, J, M, aref, d_, fl, active, a, warm):
+    args = [J, M, aref, d_, fl, active, a, warm]
     # broadcast any unbatched operand
     for i, (arg, batched) in enumerate(zip(args, in_batched)):
       if not batched:
         args[i] = jnp.broadcast_to(arg[None], (axis_size,) + arg.shape)
-    J, M, aref, d_, fl, active, a = args
-    if jax.default_backend() == 'tpu' and nv <= 24:
+    J, M, aref, d_, fl, active, a, warm = args
+    if (jax.default_backend() == 'tpu' and nv <= 24
+        and not lay.has_elliptic):
       from dm_control_tpu.ops import newton_kernel
       x, force = newton_kernel.newton_solve_batched(
-          J, M, aref, d_, fl, active, a, types_np, niter, ls_iter)
+          J, M, aref, d_, fl, active, a, lay.types, min(niter, 16),
+          8)
     else:
-      x, force = jax.vmap(xla_core)(J, M, aref, d_, fl, active, a)
+      x, force = jax.vmap(xla_core)(J, M, aref, d_, fl, active, a, warm)
     return (x, force), (True, True)
 
+  lay._cache[key] = core
   return core
 
 
-def _solve_core_xla(J, M, aref, d_, fl, active, a, *, types_np, niter,
-                    ls_iter):
-  """Single-env projected Newton (XLA ops)."""
+def _solve_core_xla(J, M, aref, d_, fl, active, a, warm, *, lay, niter,
+                    ls_iter, tol, meaninertia):
+  """Single-env projected Newton (XLA ops) with the reference's exit rule:
+  stop when the scaled cost improvement OR the scaled gradient norm drops
+  below opt.tolerance, with scale = 1/(stat.meaninertia * max(1, nv))."""
   dtype = a.dtype
   nefc, nv = J.shape
-  types = jnp.asarray(types_np)
-
-  # Few Newton iterations with a shallow piecewise-quadratic line search:
-  # phi'(alpha) is piecewise linear increasing, so guarded Newton-on-phi'
-  # converges in a handful of evaluations.
+  types = jnp.asarray(lay.types)
   from dm_control_tpu._src import linalg
-  unroll = (nefc * nv * niter <= 20_000
-            and jax.default_backend() != 'cpu')
   eye_reg = 1e-12 * jnp.eye(nv, dtype=dtype)
+  scale = 1.0 / (max(meaninertia, 1e-12) * max(nv, 1))
 
-  def constraint_cost(jar):
-    return _cost(jar, d_, fl, types, active)
+  def forces_full(jar):
+    f, w, cost = _diag_terms(jar, d_, fl, types, active)
+    ell, ell_cost = _ell_terms(lay, jar, d_, active, dtype)
+    for rows, f_rows, _ in ell:
+      f = f.at[rows.reshape(-1)].set(f_rows.reshape(-1))
+    return f, w, cost + ell_cost, ell
+
+  def total_cost(x, jar):
+    _, _, c, _ = forces_full(jar)
+    return 0.5 * ((x - a) @ (M @ (x - a))) + c
 
   def newton_body(carry):
-    x, jar = carry
-    f = _forces(jar, d_, fl, types, active)
+    x, jar, prev_cost, it, _ = carry
+    f, w, ccost, ell = forces_full(jar)
     grad = M @ (x - a) - J.T @ f
-    qa = _quad_active(jar, d_, fl, types, active)
-    h = M + (J.T * jnp.where(qa, d_, 0.0)) @ J
+    h = M + (J.T * w) @ J
+    for rows, _, wblk in ell:
+      jg = J[rows]  # (ncg, k, nv)
+      h = h + jnp.einsum('cka,ckl,clb->ab', jg, wblk, jg)
     delta = -linalg.solve_psd(h + eye_reg, grad)
 
     djar = J @ delta
     dmd = delta @ (M @ delta)
     gma = delta @ (M @ (x - a))
 
-    def dphi_ddphi(alpha, jar=jar, djar=djar, gma=gma, dmd=dmd):
-      # alpha may be scalar or (k,): jar_a broadcasts to (k, nefc)
-      jar_a = jar + alpha[..., None] * djar
-      f_a = _forces(jar_a, d_, fl, types, active)
-      qa_a = _quad_active(jar_a, d_, fl, types, active)
+    def dphi_ddphi(alpha):
+      jar_a = jar + alpha * djar
+      f_a, w_a, _, ell_a = forces_full(jar_a)
       dp = gma + alpha * dmd - f_a @ djar
-      ddp = dmd + jnp.sum(
-          jnp.where(qa_a, d_, 0.0) * djar * djar, axis=-1)
+      ddp = dmd + jnp.sum(w_a * djar * djar)
+      for rows, _, wblk in ell_a:
+        dg = djar[rows]
+        ddp = ddp + jnp.einsum('ck,ckl,cl->', dg, wblk, dg)
       return dp, ddp
 
     # guarded Newton on phi' starting at the full step
@@ -179,35 +256,50 @@ def _solve_core_xla(J, M, aref, d_, fl, active, a, *, types_np, niter,
     lo = jnp.zeros((), dtype)
     hi = jnp.asarray(4.0, dtype)
     for _ in range(ls_iter):
-      dp, ddp = dphi_ddphi(jnp.asarray(alpha, dtype))
+      dp, ddp = dphi_ddphi(alpha)
       lo = jnp.where(dp < 0, jnp.maximum(lo, alpha), lo)
       hi = jnp.where(dp > 0, jnp.minimum(hi, alpha), hi)
       alpha_n = alpha - dp / jnp.maximum(ddp, 1e-14)
       alpha = jnp.where(
           (alpha_n > lo) & (alpha_n < hi), alpha_n, 0.5 * (lo + hi))
 
-    # keep the better point (cost from cached quadratic pieces)
+    x_new = x + alpha * delta
     jar_new = jar + alpha * djar
-    d_cost = (alpha * gma + 0.5 * alpha * alpha * dmd
-              + constraint_cost(jar_new) - constraint_cost(jar))
-    improved = d_cost < 0
-    x = jnp.where(improved, x + alpha * delta, x)
+    new_cost = total_cost(x_new, jar_new)
+    improved = new_cost < prev_cost
+    x = jnp.where(improved, x_new, x)
     jar = jnp.where(improved, jar_new, jar)
-    return x, jar
+    cost = jnp.where(improved, new_cost, prev_cost)
+    improvement = scale * (prev_cost - cost)
+    f_new, _, _, _ = forces_full(jar)
+    grad_new = M @ (x - a) - J.T @ f_new
+    gradient = scale * jnp.linalg.norm(grad_new)
+    done = jnp.logical_or(improvement < tol, gradient < tol)
+    return x, jar, cost, it + 1, done
 
-  # Start from qacc_smooth.  (The reference warmstarts from the previous
-  # solution; since both solvers converge to the unique optimum of the
-  # strictly convex problem, the start point does not affect parity, and
-  # skipping the warmstart cost comparison is faster on TPU.)
-  x = a
-  jar = J @ x - aref
-  if unroll:
-    for _ in range(niter):
-      x, jar = newton_body((x, jar))
-  else:
-    x, jar = jax.lax.fori_loop(
-        0, niter, lambda _, c: newton_body(c), (x, jar))
+  # start from the better of qacc_smooth / warmstart (reference semantics)
+  jar_a = J @ a - aref
+  jar_w = J @ warm - aref
+  cost_a = total_cost(a, jar_a)
+  cost_w = total_cost(warm, jar_w)
+  use_warm = cost_w < cost_a
+  x0 = jnp.where(use_warm, warm, a)
+  jar0 = jnp.where(use_warm, jar_w, jar_a)
+  cost0 = jnp.minimum(cost_w, cost_a)
+
+  # the reference also exits immediately on a small initial gradient
+  f0, _, _, _ = forces_full(jar0)
+  grad0 = M @ (x0 - a) - J.T @ f0
+  done0 = scale * jnp.linalg.norm(grad0) < tol
+
+  init = (x0, jar0, cost0, jnp.zeros((), jnp.int32), done0)
+
+  def cond(carry):
+    _, _, _, it, done = carry
+    return jnp.logical_and(it < niter, jnp.logical_not(done))
+
+  x, jar, _, _, _ = jax.lax.while_loop(cond, newton_body, init)
 
   jar = J @ x - aref
-  force = _forces(jar, d_, fl, types, active)
-  return x, force
+  f, _, _, ell = forces_full(jar)
+  return x, f

@@ -364,6 +364,8 @@ class Model:
   tendon_length0: np.ndarray = None  # (ntendon,)
   tendon_solref_lim: np.ndarray = None  # (ntendon, 2)
   tendon_solimp_lim: np.ndarray = None  # (ntendon, 5)
+  tendon_solref_fri: np.ndarray = None  # (ntendon, 2) friction-loss solref
+  tendon_solimp_fri: np.ndarray = None  # (ntendon, 5)
   tendon_invweight0: np.ndarray = None  # (ntendon,)
   wrap_type: np.ndarray = None      # (nwrap,) i4 WrapType
   wrap_objid: np.ndarray = None     # (nwrap,) i4
@@ -426,6 +428,9 @@ class Model:
 
   # ancestry mask: body_dof_mask[b, i] = 1.0 if dof i is on path root->b.
   body_dof_mask: np.ndarray = None  # (nbody, nv) f8
+
+  # model statistics (reference mjStatistic; filled by setconst)
+  stat_meaninertia: float = 1.0
 
   def name2id(self, kind: str, name: str) -> int:
     return self.names[kind][name]
