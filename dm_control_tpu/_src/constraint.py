@@ -196,7 +196,7 @@ def make_constraint(m: Model, d: Data) -> Data:
     limit = float(np.max(np.abs(m.jnt_range[j])))
     dist = limit - angle
     dir_ = axis / jnp.maximum(angle, 1e-14)
-    J = jnp.zeros((1, m.nv), dtype).at[0, dadr:dadr + 3].set(-dir_)
+    J = math.safe_set(jnp.zeros((1, m.nv), dtype), (0, slice(dadr, dadr + 3)), -dir_)
     blocks.add(J, dist, margin, m.jnt_solref[j], m.jnt_solimp[j],
                float(m.dof_invweight0[dadr]), dist < margin)
 
@@ -279,12 +279,12 @@ def _equality_rows(m: Model, d: Data, e: int, blocks: _Blocks):
       dpoly = jnp.stack(
           [i * q2 ** (i - 1) if i > 0 else jnp.zeros((), dtype)
            for i in range(5)])
-      jrow = jnp.zeros(m.nv, dtype).at[d1adr].set(1.0)
-      jrow = jrow.at[d2adr].set(-(poly @ dpoly))
+      jrow = math.safe_set(jnp.zeros(m.nv, dtype), d1adr, 1.0)
+      jrow = math.safe_set(jrow, d2adr, -(poly @ dpoly))
       invweight += float(m.dof_invweight0[d2adr])
     else:
       pos = q1 - poly[0]
-      jrow = jnp.zeros(m.nv, dtype).at[d1adr].set(1.0)
+      jrow = math.safe_set(jnp.zeros(m.nv, dtype), d1adr, 1.0)
     blocks.add(jrow[None], pos, 0.0, solref[None], solimp[None],
                invweight, active)
   elif etype == EqType.TENDON:
@@ -386,12 +386,12 @@ def _contact_rows(m: Model, d: Data, lay: efc.Layout, blocks: _Blocks):
   if c.nrm_row.size:
     rows = c.nrm_row - base
     ci = c.nrm_con
-    J = J.at[rows].set(jn[ci])
-    pos = pos.at[rows].set(dist[ci])
-    marg = marg.at[rows].set(margin[ci])
-    D = D.at[rows].set(d_n[ci])
-    aref = aref.at[rows].set(aref_n[ci])
-    act = act.at[rows].set(active[ci])
+    J = math.safe_set(J, rows, jn[ci])
+    pos = math.safe_set(pos, rows, dist[ci])
+    marg = math.safe_set(marg, rows, margin[ci])
+    D = math.safe_set(D, rows, d_n[ci])
+    aref = math.safe_set(aref, rows, aref_n[ci])
+    act = math.safe_set(act, rows, active[ci])
 
   # pyramidal edge rows
   if c.pyr_row.size:
@@ -406,12 +406,12 @@ def _contact_rows(m: Model, d: Data, lay: efc.Layout, blocks: _Blocks):
     mu2 = mu1[ci] * mu1[ci]
     d_p = d_n[ci] / (2.0 * mu2 * (1.0 + mu2)) * impratio
     aref_p = -b[ci] * vel - (k * imp)[ci] * (dist[ci] - margin[ci])
-    J = J.at[rows].set(Jp)
-    pos = pos.at[rows].set(dist[ci])
-    marg = marg.at[rows].set(margin[ci])
-    D = D.at[rows].set(d_p)
-    aref = aref.at[rows].set(aref_p)
-    act = act.at[rows].set(active[ci])
+    J = math.safe_set(J, rows, Jp)
+    pos = math.safe_set(pos, rows, dist[ci])
+    marg = math.safe_set(marg, rows, margin[ci])
+    D = math.safe_set(D, rows, d_p)
+    aref = math.safe_set(aref, rows, aref_p)
+    act = math.safe_set(act, rows, active[ci])
 
   # elliptic friction rows
   if c.ellf_row.size:
@@ -422,11 +422,11 @@ def _contact_rows(m: Model, d: Data, lay: efc.Layout, blocks: _Blocks):
     mu_dir = jnp.asarray(c.friction[c.ellf_con, c.ellf_dir], dtype)
     ratio = mu_dir / mu1[ci]
     d_f = d_n[ci] * ratio * ratio * impratio
-    J = J.at[rows].set(Jf)
+    J = math.safe_set(J, rows, Jf)
     # pos/margin stay 0: elliptic friction rows have no spring term
-    D = D.at[rows].set(d_f)
-    aref = aref.at[rows].set(-b[ci] * vel)
-    act = act.at[rows].set(active[ci])
+    D = math.safe_set(D, rows, d_f)
+    aref = math.safe_set(aref, rows, -b[ci] * vel)
+    act = math.safe_set(act, rows, active[ci])
 
   blocks.J.append(J)
   blocks.pos.append(pos)

@@ -126,7 +126,7 @@ def passive(m: Model, d: Data) -> Data:
       qadr = m.jnt_qposadr[hs]
       dadr = m.jnt_dofadr[hs]
       k = jnp.asarray(stiff[hs], dtype)
-      qfrc_spring = qfrc_spring.at[dadr].add(
+      qfrc_spring = math.safe_add(qfrc_spring, dadr, 
           -k * (d.qpos[qadr] - qpos_spring[qadr]))
     for j in tr.ball_jids:
       k = float(stiff[j])
@@ -135,17 +135,17 @@ def passive(m: Model, d: Data) -> Data:
       qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
       dif = math.quat_sub(d.qpos[qadr:qadr + 4],
                           qpos_spring[qadr:qadr + 4])
-      qfrc_spring = qfrc_spring.at[dadr:dadr + 3].add(-k * dif)
+      qfrc_spring = math.safe_add(qfrc_spring, slice(dadr, dadr + 3), -k * dif)
     for j in tr.free_jids:
       k = float(stiff[j])
       if k == 0.0:
         continue
       qadr, dadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
-      qfrc_spring = qfrc_spring.at[dadr:dadr + 3].add(
+      qfrc_spring = math.safe_add(qfrc_spring, slice(dadr, dadr + 3), 
           -k * (d.qpos[qadr:qadr + 3] - qpos_spring[qadr:qadr + 3]))
       dif = math.quat_sub(d.qpos[qadr + 3:qadr + 7],
                           qpos_spring[qadr + 3:qadr + 7])
-      qfrc_spring = qfrc_spring.at[dadr + 3:dadr + 6].add(-k * dif)
+      qfrc_spring = math.safe_add(qfrc_spring, slice(dadr + 3, dadr + 6), -k * dif)
 
     # tendon springs (with deadband semantics), vectorized over tendons
     tsel = np.where(m.tendon_stiffness > 0)[0] if m.ntendon else np.zeros(
@@ -288,13 +288,13 @@ def actuation(m: Model, d: Data) -> Data:
   act_dot = jnp.zeros(m.na, dtype)
   sel = np.where(dyn == int(DynType.INTEGRATOR))[0]
   if len(sel):
-    act_dot = act_dot.at[actadr[sel]].set(ctrl[sel])
+    act_dot = math.safe_set(act_dot, actadr[sel], ctrl[sel])
   sel = np.where((dyn == int(DynType.FILTER))
                  | (dyn == int(DynType.FILTEREXACT)))[0]
   if len(sel):
     tau = jnp.asarray(
         np.maximum(m.actuator_dynprm[sel, 0], 1e-12), dtype)
-    act_dot = act_dot.at[actadr[sel]].set(
+    act_dot = math.safe_set(act_dot, actadr[sel], 
         (ctrl[sel] - d.act[actadr[sel]]) / tau)
   stateless = jnp.asarray(dyn == int(DynType.NONE))
   if m.na:
@@ -333,7 +333,7 @@ def actuation(m: Model, d: Data) -> Data:
     adr = m.jnt_dofadr[sel]
     lo = jnp.asarray(m.jnt_actfrcrange[sel, 0], dtype)
     hi = jnp.asarray(m.jnt_actfrcrange[sel, 1], dtype)
-    qfrc_actuator = qfrc_actuator.at[adr].set(
+    qfrc_actuator = math.safe_set(qfrc_actuator, adr, 
         jnp.clip(qfrc_actuator[adr], lo, hi))
 
   return d.replace(actuator_velocity=vel, actuator_force=force,
@@ -474,17 +474,17 @@ def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array,
   tr = tree.get(m)
   out = qpos
   if len(tr.hs_jids):
-    out = out.at[tr.hs_qadr].set(
+    out = math.safe_set(out, tr.hs_qadr, 
         qpos[tr.hs_qadr] + dt * qvel[tr.hs_dadr])
   if len(tr.ball_jids):
-    out = out.at[tr.ball_qmat].set(math.quat_integrate(
+    out = math.safe_set(out, tr.ball_qmat, math.quat_integrate(
         qpos[tr.ball_qmat], qvel[tr.ball_dmat], dt))
   if len(tr.free_jids):
     q = qpos[tr.free_qmat]
     v = qvel[tr.free_dmat]
     pos = q[:, :3] + dt * v[:, :3]
     quat = math.quat_integrate(q[:, 3:7], v[:, 3:6], dt)
-    out = out.at[tr.free_qmat].set(jnp.concatenate([pos, quat], axis=1))
+    out = math.safe_set(out, tr.free_qmat, jnp.concatenate([pos, quat], axis=1))
   return out
 
 

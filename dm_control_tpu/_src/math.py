@@ -28,6 +28,22 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
+def safe_set(arr: jax.Array, idx, values) -> jax.Array:
+  """arr.at[idx].set(values) with a fusion barrier on the updates.
+
+  The current XLA:TPU build miscompiles vmapped scatters whose update
+  computation fuses gathers of MULTIPLE source arrays (observed: updates
+  `q[i] + c*v[i]` lowering to `v[i] + c*v[i]`).  An optimization barrier
+  on the update operand blocks that fusion; measured cost is negligible
+  (the scatters sit between matmul-bound stages)."""
+  return arr.at[idx].set(jax.lax.optimization_barrier(values))
+
+
+def safe_add(arr: jax.Array, idx, values) -> jax.Array:
+  """arr.at[idx].add(values) with the same fusion barrier as safe_set."""
+  return arr.at[idx].add(jax.lax.optimization_barrier(values))
+
+
 def normalize(v: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
   """Safe unit-normalization along `axis`."""
   n = jnp.linalg.norm(v, axis=axis, keepdims=True)

@@ -54,7 +54,7 @@ def rne_postconstraint(m: Model, d: Data):
       f = b_sign * world_f
       wrench = jnp.concatenate([jnp.cross(offset, f), f], axis=-1)
       wrench = jnp.where((geom >= 0)[:, None], wrench, 0.0)
-      cfrc_ext = cfrc_ext.at[bodyid].add(wrench)
+      cfrc_ext = math.safe_add(cfrc_ext, bodyid, wrench)
 
   # forward pass: body accelerations
   if m.nv:
@@ -97,18 +97,18 @@ def _contact_forces(m: Model, d: Data) -> jax.Array:
   if c is None or not c.ncon:
     return forces
   if c.nrm_row.size:
-    forces = forces.at[c.nrm_con, 0].add(d.efc_force[c.nrm_row])
+    forces = math.safe_add(forces, (c.nrm_con, 0), d.efc_force[c.nrm_row])
   if c.ellf_row.size:
     sel = c.ellf_dir < 2
-    forces = forces.at[c.ellf_con[sel], 1 + c.ellf_dir[sel]].add(
+    forces = math.safe_add(forces, (c.ellf_con[sel], 1 + c.ellf_dir[sel]), 
         d.efc_force[c.ellf_row[sel]])
   if c.pyr_row.size:
     f = d.efc_force[c.pyr_row]
-    forces = forces.at[c.pyr_con, 0].add(f)
+    forces = math.safe_add(forces, (c.pyr_con, 0), f)
     sel = c.pyr_dir < 2
     mu_sign = jnp.asarray(
         c.friction[c.pyr_con[sel], c.pyr_dir[sel]] * c.pyr_sign[sel], dtype)
-    forces = forces.at[c.pyr_con[sel], 1 + c.pyr_dir[sel]].add(
+    forces = math.safe_add(forces, (c.pyr_con[sel], 1 + c.pyr_dir[sel]), 
         mu_sign * f[sel])
   return forces
 
@@ -269,7 +269,7 @@ def sensors(m: Model, d: Data, stages: str = 'all') -> Data:
       val = jnp.clip(val, -cutoff, cutoff)
     elif cutoff > 0:
       val = jnp.clip(val, 0.0, cutoff)
-    out = out.at[adr:adr + dim].set(val)
+    out = math.safe_set(out, slice(adr, adr + dim), val)
   return d.replace(sensordata=out)
 
 

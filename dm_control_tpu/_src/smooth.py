@@ -111,11 +111,11 @@ def kinematics(m: Model, d: Data) -> Data:
                  else jnp.zeros((len(ids), 0, 3), dtype))
       axes = (jnp.stack(axis_l, axis=1) if axis_l
               else jnp.zeros((len(ids), 0, 3), dtype))
-    xpos = xpos.at[ids].set(pos)
-    xquat = xquat.at[ids].set(quat)
+    xpos = math.safe_set(xpos, ids, pos)
+    xquat = math.safe_set(xquat, ids, quat)
     if jids.size:
-      xanchor = xanchor.at[jids].set(anchors)
-      xaxis = xaxis.at[jids].set(axes)
+      xanchor = math.safe_set(xanchor, jids, anchors)
+      xaxis = math.safe_set(xaxis, jids, axes)
 
   xmat = math.quat_to_mat(xquat)
 
@@ -171,7 +171,7 @@ def com_pos(m: Model, d: Data) -> Data:
       mass, jnp.asarray(m.body_inertia, dtype), d.ximat,
       d.xipos - root_com)
   # world body: zero
-  cinert = cinert.at[0].set(0.0)
+  cinert = math.safe_set(cinert, 0, 0.0)
 
   # cdof, one batched computation per joint-type group
   cdof = jnp.zeros((m.nv, 6), dtype)
@@ -179,13 +179,13 @@ def com_pos(m: Model, d: Data) -> Data:
     jid = tr.slide_jids
     rows = jnp.concatenate(
         [jnp.zeros((len(jid), 3), dtype), d.xaxis[jid]], axis=1)
-    cdof = cdof.at[m.jnt_dofadr[jid]].set(rows)
+    cdof = math.safe_set(cdof, m.jnt_dofadr[jid], rows)
   if len(tr.hinge_jids):
     jid = tr.hinge_jids
     offset = d.xanchor[jid] - root_com[m.jnt_bodyid[jid]]
     ax = d.xaxis[jid]
     rows = jnp.concatenate([ax, jnp.cross(offset, ax)], axis=1)
-    cdof = cdof.at[m.jnt_dofadr[jid]].set(rows)
+    cdof = math.safe_set(cdof, m.jnt_dofadr[jid], rows)
   if len(tr.ball_jids):
     jid = tr.ball_jids
     bid = m.jnt_bodyid[jid]
@@ -193,7 +193,7 @@ def com_pos(m: Model, d: Data) -> Data:
     axes = d.xmat[bid].swapaxes(-1, -2)              # (nb, 3 axes, 3)
     rows = jnp.concatenate(
         [axes, jnp.cross(offset[:, None, :], axes)], axis=-1)  # (nb,3,6)
-    cdof = cdof.at[tr.ball_dmat].set(rows)
+    cdof = math.safe_set(cdof, tr.ball_dmat, rows)
   if len(tr.free_jids):
     jid = tr.free_jids
     bid = m.jnt_bodyid[jid]
@@ -206,7 +206,7 @@ def com_pos(m: Model, d: Data) -> Data:
     axes = d.xmat[bid].swapaxes(-1, -2)
     rot = jnp.concatenate(
         [axes, jnp.cross(off[:, None, :], axes)], axis=-1)
-    cdof = cdof.at[tr.free_dmat].set(
+    cdof = math.safe_set(cdof, tr.free_dmat, 
         jnp.concatenate([trans, rot], axis=1))
 
   return d.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)
@@ -350,8 +350,8 @@ def tendon(m: Model, d: Data) -> Data:
     wrap_prm = mparam(m, d, 'wrap_prm')
     coef = wrap_prm[fw_wid]
     contrib = coef * d.qpos[m.jnt_qposadr[jid]]
-    ten_length = ten_length.at[fw_tid].add(contrib)
-    ten_j = ten_j.at[(fw_tid, m.jnt_dofadr[jid])].add(coef)
+    ten_length = math.safe_add(ten_length, fw_tid, contrib)
+    ten_j = math.safe_add(ten_j, (fw_tid, m.jnt_dofadr[jid]), coef)
 
   if sp_tid:
     sp_tid = np.asarray(sp_tid, np.int32)
@@ -362,7 +362,7 @@ def tendon(m: Model, d: Data) -> Data:
     diff = p2 - p1
     seg_len = math.norm_safe(diff)
     dir_ = diff / jnp.maximum(seg_len, 1e-12)[:, None]
-    ten_length = ten_length.at[sp_tid].add(seg_len)
+    ten_length = math.safe_add(ten_length, sp_tid, seg_len)
 
     def point_jacs(pts, bodies):
       mask = jnp.asarray(m.body_dof_mask[bodies], dtype)  # (ns, nv)
@@ -376,7 +376,7 @@ def tendon(m: Model, d: Data) -> Data:
     j1 = point_jacs(p1, m.site_bodyid[sp_s1])
     j2 = point_jacs(p2, m.site_bodyid[sp_s2])
     contrib = jnp.einsum('svx,sx->sv', j2 - j1, dir_)
-    ten_j = ten_j.at[sp_tid].add(contrib)
+    ten_j = math.safe_add(ten_j, sp_tid, contrib)
 
   ten_velocity = ten_j @ d.qvel if m.nv else jnp.zeros(m.ntendon, dtype)
   return d.replace(ten_length=ten_length, ten_J=ten_j,
@@ -434,8 +434,8 @@ def transmission(m: Model, d: Data) -> Data:
     if len(hs):
       jj = m.actuator_trnid[hs, 0]
       g0 = jnp.asarray(m.actuator_gear[hs, 0], dtype)
-      lengths = lengths.at[hs].set(d.qpos[m.jnt_qposadr[jj]] * g0)
-      moments = moments.at[(hs, m.jnt_dofadr[jj])].set(g0)
+      lengths = math.safe_set(lengths, hs, d.qpos[m.jnt_qposadr[jj]] * g0)
+      moments = math.safe_set(moments, (hs, m.jnt_dofadr[jj]), g0)
     for nvj, sel_t in ((3, int(JointType.BALL)), (6, int(JointType.FREE))):
       sel = jsel[jt == sel_t]
       if len(sel):
@@ -444,13 +444,13 @@ def transmission(m: Model, d: Data) -> Data:
                 + np.arange(nvj)[None, :]).astype(np.int32)
         urep = np.repeat(sel[:, None], nvj, axis=1)
         gear = jnp.asarray(m.actuator_gear[sel, :nvj], dtype)
-        moments = moments.at[(urep, dmat)].set(gear)
+        moments = math.safe_set(moments, (urep, dmat), gear)
 
   tsel = np.where(trn == int(TrnType.TENDON))[0]
   if len(tsel):
     tid = m.actuator_trnid[tsel, 0]
     g0 = jnp.asarray(m.actuator_gear[tsel, 0], dtype)
-    lengths = lengths.at[tsel].set(d.ten_length[tid] * g0)
-    moments = moments.at[tsel].set(d.ten_J[tid] * g0[:, None])
+    lengths = math.safe_set(lengths, tsel, d.ten_length[tid] * g0)
+    moments = math.safe_set(moments, tsel, d.ten_J[tid] * g0[:, None])
 
   return d.replace(actuator_length=lengths, actuator_moment=moments)

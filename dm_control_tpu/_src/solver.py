@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dm_control_tpu._src import efc
+from dm_control_tpu._src import math
 from dm_control_tpu._src.types import Data, DisableBit, Model
 
 # legacy aliases (kernel + tests import these from here)
@@ -220,7 +221,7 @@ def _solve_core_xla(J, M, aref, d_, fl, active, a, warm, *, lay, niter,
     f, w, cost = _diag_terms(jar, d_, fl, types, active)
     ell, ell_cost = _ell_terms(lay, jar, d_, active, dtype)
     for rows, f_rows, _ in ell:
-      f = f.at[rows.reshape(-1)].set(f_rows.reshape(-1))
+      f = math.safe_set(f, rows.reshape(-1), f_rows.reshape(-1))
     return f, w, cost + ell_cost, ell
 
   def total_cost(x, jar):
@@ -274,8 +275,9 @@ def _solve_core_xla(J, M, aref, d_, fl, active, a, warm, *, lay, niter,
     f_new, _, _, _ = forces_full(jar)
     grad_new = M @ (x - a) - J.T @ f_new
     gradient = scale * jnp.linalg.norm(grad_new)
-    done = jnp.logical_or(improvement < tol, gradient < tol)
-    return x, jar, cost, it + 1, done
+    # NaN-robust: a diverged lane must terminate, not spin to niter
+    keep_going = jnp.logical_and(improvement >= tol, gradient >= tol)
+    return x, jar, cost, it + 1, jnp.logical_not(keep_going)
 
   # start from the better of qacc_smooth / warmstart (reference semantics)
   jar_a = J @ a - aref
@@ -290,7 +292,7 @@ def _solve_core_xla(J, M, aref, d_, fl, active, a, warm, *, lay, niter,
   # the reference also exits immediately on a small initial gradient
   f0, _, _, _ = forces_full(jar0)
   grad0 = M @ (x0 - a) - J.T @ f0
-  done0 = scale * jnp.linalg.norm(grad0) < tol
+  done0 = jnp.logical_not(scale * jnp.linalg.norm(grad0) >= tol)
 
   init = (x0, jar0, cost0, jnp.zeros((), jnp.int32), done0)
 

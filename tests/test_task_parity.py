@@ -1,12 +1,17 @@
-"""Task-level return parity vs the installed dm_control oracle.
+"""Task-level return + observation parity vs the installed dm_control oracle.
 
 The BASELINE.json correctness mandate: identical initial state + identical
-action sequence -> matching rewards/observations within float tolerance.
-The oracle env resets (its own RNG), we copy its physics state (and any
-episode-randomized model params) into our env, then lockstep both.
-"""
+action sequence -> matching rewards AND observations within float
+tolerance.  The oracle env resets (its own RNG), we copy its physics state
+(and any episode-randomized model params) into our env, then lockstep both
+for 500 steps.
 
-import collections
+All 43 suite tasks are covered.  Tolerances are per-task: chaotic
+contact-rich dynamics amplify the ~1e-10 per-step solver/collider
+difference exponentially, so contact tasks carry looser bounds than
+smooth tasks; each bound documents the measured fidelity rather than
+hiding it.
+"""
 
 import numpy as np
 import pytest
@@ -16,34 +21,76 @@ import dm_control.suite as ref_suite
 
 from dm_control_tpu import suite
 
-# (domain, task, steps, reward atol)
+N_STEPS = 500
+
+# (domain, task, steps, reward atol, obs atol)
+SMOOTH = 1e-7
+CONTACT = 1e-3
+CHAOTIC = 5e-3
 CASES = [
-    ('pendulum', 'swingup', 100, 1e-6),
-    ('cartpole', 'swingup', 100, 1e-6),
-    ('cartpole', 'balance', 100, 1e-6),
-    ('acrobot', 'swingup', 100, 1e-6),
-    ('reacher', 'easy', 100, 1e-6),
-    ('reacher', 'hard', 100, 1e-6),
-    ('point_mass', 'easy', 100, 1e-6),
-    ('swimmer', 'swimmer6', 100, 1e-5),
-    ('fish', 'upright', 100, 1e-5),
-    ('fish', 'swim', 100, 1e-5),
-    ('ball_in_cup', 'catch', 100, 1e-5),
-    ('hopper', 'stand', 50, 2e-2),
-    ('hopper', 'hop', 50, 2e-2),
-    ('walker', 'walk', 50, 2e-2),
-    ('walker', 'run', 50, 2e-2),
-    ('cheetah', 'run', 50, 2e-2),
-    ('finger', 'spin', 50, 2e-2),
-    ('humanoid', 'stand', 30, 5e-2),
+    ('acrobot', 'swingup', N_STEPS, SMOOTH, 1e-5),
+    ('acrobot', 'swingup_sparse', N_STEPS, SMOOTH, 1e-5),
+    ('ball_in_cup', 'catch', N_STEPS, CONTACT, CONTACT),
+    ('cartpole', 'balance', N_STEPS, SMOOTH, 1e-6),
+    ('cartpole', 'balance_sparse', N_STEPS, SMOOTH, 1e-6),
+    ('cartpole', 'swingup', N_STEPS, SMOOTH, 1e-6),
+    ('cartpole', 'swingup_sparse', N_STEPS, SMOOTH, 1e-6),
+    ('cartpole', 'two_poles', N_STEPS, SMOOTH, 1e-5),
+    ('cartpole', 'three_poles', N_STEPS, SMOOTH, 1e-5),
+    ('cheetah', 'run', N_STEPS, CONTACT, CONTACT),
+    ('finger', 'spin', N_STEPS, CONTACT, CONTACT),
+    ('finger', 'turn_easy', N_STEPS, CONTACT, CONTACT),
+    ('finger', 'turn_hard', N_STEPS, CONTACT, CONTACT),
+    ('fish', 'upright', N_STEPS, 1e-6, 1e-5),
+    ('fish', 'swim', N_STEPS, 1e-6, 1e-5),
+    ('hopper', 'stand', N_STEPS, CONTACT, CONTACT),
+    ('hopper', 'hop', N_STEPS, CONTACT, CONTACT),
+    ('humanoid', 'stand', N_STEPS, CHAOTIC, CHAOTIC),
+    ('humanoid', 'walk', N_STEPS, CHAOTIC, CHAOTIC),
+    ('humanoid', 'run', N_STEPS, CHAOTIC, CHAOTIC),
+    ('humanoid', 'run_pure_state', N_STEPS, CHAOTIC, CHAOTIC),
+    ('humanoid_CMU', 'stand', 200, CHAOTIC, CHAOTIC),
+    ('humanoid_CMU', 'run', 200, CHAOTIC, CHAOTIC),
+    ('lqr', 'lqr_2_1', N_STEPS, 1e-8, 1e-7),
+    ('lqr', 'lqr_6_2', N_STEPS, 1e-8, 1e-7),
+    ('manipulator', 'bring_ball', N_STEPS, CHAOTIC, CHAOTIC),
+    ('manipulator', 'bring_peg', N_STEPS, CHAOTIC, CHAOTIC),
+    ('manipulator', 'insert_ball', N_STEPS, CHAOTIC, CHAOTIC),
+    ('manipulator', 'insert_peg', N_STEPS, CHAOTIC, CHAOTIC),
+    ('pendulum', 'swingup', N_STEPS, SMOOTH, 1e-6),
+    ('point_mass', 'easy', N_STEPS, SMOOTH, 1e-6),
+    ('point_mass', 'hard', N_STEPS, SMOOTH, 1e-6),
+    ('quadruped', 'walk', 200, CHAOTIC, CHAOTIC),
+    ('quadruped', 'run', 200, CHAOTIC, CHAOTIC),
+    ('reacher', 'easy', N_STEPS, SMOOTH, 1e-6),
+    ('reacher', 'hard', N_STEPS, SMOOTH, 1e-6),
+    ('stacker', 'stack_2', 200, CHAOTIC, CHAOTIC),
+    ('stacker', 'stack_4', 200, CHAOTIC, CHAOTIC),
+    ('swimmer', 'swimmer6', N_STEPS, 1e-6, 1e-5),
+    ('swimmer', 'swimmer15', N_STEPS, 1e-6, 1e-5),
+    ('walker', 'stand', N_STEPS, CONTACT, CONTACT),
+    ('walker', 'walk', N_STEPS, CONTACT, CONTACT),
+    ('walker', 'run', N_STEPS, CONTACT, CONTACT),
 ]
 
 # model params that reference tasks mutate per episode -> copied as overrides
-_MODEL_VAR_FIELDS = ['geom_pos', 'site_pos', 'wrap_prm']
+_MODEL_VAR_FIELDS = ['geom_pos', 'site_pos', 'wrap_prm', 'body_pos']
 
 
-@pytest.mark.parametrize('domain,task,n_steps,atol', CASES)
-def test_reward_parity(domain, task, n_steps, atol):
+def _compare_obs(domain, task, t, ref_obs, obs, atol):
+  for key, ref_v in ref_obs.items():
+    assert key in obs, f'{domain}/{task}: missing obs key {key}'
+    ours = np.asarray(obs[key], np.float64).reshape(-1)
+    ref_v = np.asarray(ref_v, np.float64).reshape(-1)
+    assert ours.shape == ref_v.shape, (
+        f'{domain}/{task} obs {key}: shape {ours.shape} vs {ref_v.shape}')
+    err = np.max(np.abs(ours - ref_v)) if ref_v.size else 0.0
+    assert err < atol, (
+        f'{domain}/{task} step {t} obs "{key}": err {err:.2e} >= {atol}')
+
+
+@pytest.mark.parametrize('domain,task,n_steps,atol,obs_atol', CASES)
+def test_task_parity(domain, task, n_steps, atol, obs_atol):
   ref_env = ref_suite.load(domain, task, task_kwargs={'random': 11})
   ref_ts = ref_env.reset()
   env = suite.load(domain, task, task_kwargs={'random': 11})
@@ -55,18 +102,22 @@ def test_reward_parity(domain, task, n_steps, atol):
                if getattr(rp.model, f).size}
   env.set_state(rp.data.qpos.copy(), rp.data.qvel.copy(),
                 rp.data.act.copy(), model_var=model_var)
+  ts = env.get_timestep() if hasattr(env, 'get_timestep') else None
+  if ts is not None:
+    _compare_obs(domain, task, -1, ref_ts.observation, ts.observation,
+                 obs_atol)
 
   spec = ref_env.action_spec()
   rng = np.random.RandomState(5)
-  max_err = 0.0
   for t in range(n_steps):
     action = rng.uniform(spec.minimum, spec.maximum)
     ref_ts = ref_env.step(action)
     ts = env.step(action)
     err = abs(float(ref_ts.reward) - float(ts.reward))
-    max_err = max(max_err, err)
     assert err < atol, (
         f'{domain}/{task} step {t}: reward {ts.reward} vs oracle '
         f'{ref_ts.reward} (err {err:.2e})')
+    _compare_obs(domain, task, t, ref_ts.observation, ts.observation,
+                 obs_atol)
     if ref_ts.last():
       break
