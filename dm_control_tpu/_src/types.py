@@ -336,6 +336,12 @@ class Model:
   geom_solref: np.ndarray = None    # (ngeom, 2)
   geom_solimp: np.ndarray = None    # (ngeom, 5)
   geom_rgba: np.ndarray = None      # (ngeom, 4) for the built-in renderer
+  geom_dataid: np.ndarray = None    # (ngeom,) i4 mesh asset id, -1 if none
+
+  # mesh assets (host lists of numpy arrays; ragged across meshes) ----------
+  mesh_vert: Any = None             # [nmesh] (nvert_i, 3)
+  mesh_face: Any = None             # [nmesh] (nface_i, 3) i4
+  mesh_hull: Any = None             # [nmesh] (nhull_i, 3) collision hull
 
   # sites ------------------------------------------------------------------
   site_bodyid: np.ndarray = None    # (nsite,) i4

@@ -167,9 +167,21 @@ def _parse_orientation(attrib: Dict[str, str], degrees: bool,
 # ---------------------------------------------------------------------------
 
 
+def _sanitize_xml(text: str) -> str:
+  """Strip malformed pseudo-comments `<! ... -->` (not `<!--`): the
+  reference's native XML parser tolerates them (e.g. suite
+  jaco_*.xml line 2), Python's does not."""
+  import re
+  return re.sub(r'<!(?!--|\[)(.*?)-->', '', text, flags=re.S)
+
+
+def _parse_xml_file(path: str) -> ET.Element:
+  with open(path) as f:
+    return ET.fromstring(_sanitize_xml(f.read()))
+
+
 def _load_xml(path: str) -> ET.Element:
-  tree = ET.parse(path)
-  root = tree.getroot()
+  root = _parse_xml_file(path)
   _expand_includes(root, os.path.dirname(path))
   return root
 
@@ -180,7 +192,7 @@ def _expand_includes(elem: ET.Element, base_dir: str):
     child = elem[i]
     if child.tag == 'include':
       inc_path = os.path.join(base_dir, child.attrib['file'])
-      inc_root = ET.parse(inc_path).getroot()
+      inc_root = _parse_xml_file(inc_path)
       _expand_includes(inc_root, os.path.dirname(inc_path))
       elem.remove(child)
       # Splice the included <mujoco> file's children in place.
@@ -410,8 +422,9 @@ class _Builder:
 
 class MJCFCompiler:
 
-  def __init__(self, root: ET.Element):
+  def __init__(self, root: ET.Element, base_dir: str = '.'):
     self.root = root
+    self.base_dir = base_dir
     self.defaults = _Defaults(root)
     comp = root.find('compiler')
     cattr = comp.attrib if comp is not None else {}
@@ -423,7 +436,23 @@ class MJCFCompiler:
     self.autolimits = cattr.get('autolimits', 'true') == 'true'
     self.boundmass = float(cattr.get('boundmass', '0'))
     self.boundinertia = float(cattr.get('boundinertia', '0'))
+    self.meshdir = cattr.get('meshdir', '')
     self.b = _Builder()
+    self._mesh_assets = {}   # name -> meshes.MeshAsset
+    self._mesh_order = []    # names in declaration order
+    self._parse_mesh_assets()
+
+  def _parse_mesh_assets(self):
+    from dm_control_tpu.mjcf import meshes
+    for asset in self.root.findall('asset'):
+      for me in asset.findall('mesh'):
+        a = self._attrs(me, me.attrib.get('class', 'main'))
+        fname = a['file']
+        name = a.get('name', os.path.splitext(os.path.basename(fname))[0])
+        path = os.path.join(self.base_dir, self.meshdir, fname)
+        scale = _floats(a['scale']) if 'scale' in a else None
+        self._mesh_assets[name] = meshes.MeshAsset(name, path, scale)
+        self._mesh_order.append(name)
 
   # -- attribute resolution -------------------------------------------------
 
@@ -568,8 +597,12 @@ class MJCFCompiler:
     cls = elem.attrib.get('class', childclass)
     a = self._attrs(elem, cls)
     gtype = _GEOM_TYPES[a.get('type', 'sphere')]
-    if gtype == T.GeomType.MESH:
-      raise NotImplementedError('mesh geoms not yet supported')
+    mesh_name = None
+    if gtype == T.GeomType.MESH or 'mesh' in a:
+      gtype = T.GeomType.MESH
+      mesh_name = a['mesh']
+      if mesh_name not in self._mesh_assets:
+        raise ValueError(f'unknown mesh asset {mesh_name!r}')
     size = np.zeros(3)
     sz = _floats(a['size']) if 'size' in a else np.zeros(0)
     size[:len(sz)] = sz[:3]
@@ -610,6 +643,7 @@ class MJCFCompiler:
         solref=_padded(a, 'solref', _SOLREF_DEF),
         solimp=_padded(a, 'solimp', _SOLIMP_DEF),
         rgba=rgba,
+        mesh=mesh_name,
     ))
     self.b.bodies[body_id].geoms.append(len(self.b.geoms) - 1)
 
@@ -1116,8 +1150,16 @@ class MJCFCompiler:
                      if ngeom else np.zeros((0, 2)))
     m.geom_solimp = (np.stack([g['solimp'] for g in b.geoms])
                      if ngeom else np.zeros((0, 5)))
+    mesh_id = {n: i for i, n in enumerate(self._mesh_order)}
+    m.geom_dataid = np.array(
+        [mesh_id.get(g.get('mesh'), -1) for g in b.geoms], np.int32)
+    m.mesh_vert = [self._mesh_assets[n].verts for n in self._mesh_order]
+    m.mesh_face = [self._mesh_assets[n].faces for n in self._mesh_order]
+    m.mesh_hull = [self._mesh_assets[n].hull for n in self._mesh_order]
     m.geom_rbound = np.array(
-        [_geom_rbound(T.GeomType(g['type']), g['size']) for g in b.geoms])
+        [self._mesh_assets[g['mesh']].rbound if g.get('mesh')
+         else _geom_rbound(T.GeomType(g['type']), g['size'])
+         for g in b.geoms])
     m.geom_rgba = (np.stack([g['rgba'] for g in b.geoms])
                    if ngeom else np.zeros((0, 4)))
 
@@ -1328,10 +1370,11 @@ class MJCFCompiler:
       use_geoms = (self.inertiafromgeom == 'true'
                    or (self.inertiafromgeom == 'auto' and bd.imass is None))
       if use_geoms and bd.geoms:
-        if len(bd.geoms) == 1:
-          # single geom: keep its frame verbatim (no eigendecomposition),
-          # matching the oracle's behavior -- the principal values stay in
-          # the geom's own axis order, possibly unsorted.
+        if len(bd.geoms) == 1 and b.geoms[bd.geoms[0]].get('mesh') is None:
+          # single primitive geom: keep its frame verbatim (no
+          # eigendecomposition), matching the oracle's behavior -- the
+          # principal values stay in the geom's own axis order, possibly
+          # unsorted.  (Mesh geoms always eigendecompose, below.)
           g = b.geoms[bd.geoms[0]]
           gt = T.GeomType(g['type'])
           vol = _geom_volume(gt, g['size'])
@@ -1342,19 +1385,31 @@ class MJCFCompiler:
           body_inertia[i] = (_geom_inertia(gt, g['size'], mass)
                              if mass > 0 else np.zeros(3))
         else:
-          # aggregate geom masses/inertias
+          # aggregate geom masses/inertias (full matrices; meshes carry
+          # an offset com and a dense inertia in the geom frame)
           masses, coms, inertias = [], [], []
           for gid in bd.geoms:
             g = b.geoms[gid]
             gt = T.GeomType(g['type'])
-            vol = _geom_volume(gt, g['size'])
-            mass = g['mass'] if g['mass'] is not None else g['density'] * vol
-            diag = (_geom_inertia(gt, g['size'], mass) if mass > 0
-                    else np.zeros(3))
             rot = _nquat_to_mat(g['quat'])
-            inert = rot @ np.diag(diag) @ rot.T
+            if g.get('mesh') is not None:
+              asset = self._mesh_assets[g['mesh']]
+              vol = asset.volume
+              mass = (g['mass'] if g['mass'] is not None
+                      else g['density'] * vol)
+              unit = asset.inertia / max(asset.volume, _EPS)
+              inert = rot @ (mass * unit) @ rot.T
+              com_g = g['pos'] + rot @ asset.com
+            else:
+              vol = _geom_volume(gt, g['size'])
+              mass = (g['mass'] if g['mass'] is not None
+                      else g['density'] * vol)
+              diag = (_geom_inertia(gt, g['size'], mass) if mass > 0
+                      else np.zeros(3))
+              inert = rot @ np.diag(diag) @ rot.T
+              com_g = g['pos']
             masses.append(mass)
-            coms.append(g['pos'])
+            coms.append(com_g)
             inertias.append(inert)
           mass = sum(masses)
           if mass > _EPS:
@@ -1494,10 +1549,11 @@ class MJCFCompiler:
 
 
 def compile_path(path: str) -> T.Model:
-  return MJCFCompiler(_load_xml(path)).build()
+  return MJCFCompiler(_load_xml(path),
+                      base_dir=os.path.dirname(path)).build()
 
 
 def compile_string(xml: str, base_dir: str = '.') -> T.Model:
-  root = ET.fromstring(xml)
+  root = ET.fromstring(_sanitize_xml(xml))
   _expand_includes(root, base_dir)
-  return MJCFCompiler(root).build()
+  return MJCFCompiler(root, base_dir=base_dir).build()
