@@ -2,7 +2,7 @@
 
 Each (GeomType, GeomType) group is collided as one batched, branch-free
 computation over its static candidate-pair list; results land in the padded
-Contact buffer in the fixed order produced by collision._pair_entries.
+Contact buffer in the fixed order produced by collision.groups.
 Contact parameter combination (friction/solref/solimp/condim mixing)
 follows the reference's documented rules and is validated against the
 oracle in tests/test_collision.py.
@@ -62,17 +62,17 @@ def _combine_params(m: Model, g1: int, g2: int, pairinfo):
 def make_frame(normal: jax.Array) -> jax.Array:
   """(..., 3, 3) frame with rows (normal, tangent1, tangent2).
 
-  Matches the oracle's frame construction (verified empirically):
-    t2 = normalize(cross(n, z))     [fallback cross(n, y) when n ~ z]
-    t1 = cross(t2, n)
+  Exactly the oracle's mju_makeFrame (solved empirically over random
+  normals: 800/800 match): auxiliary seed is the world y axis unless
+  |n_y| > 0.5, in which case z; then t2 = normalize(n x seed),
+  t1 = t2 x n.  The pyramidal cone is tangent-basis-dependent, so
+  matching this construction is required for contact-force parity.
   """
   n = math.normalize(normal)
   z = jnp.broadcast_to(jnp.array([0.0, 0, 1], n.dtype), n.shape)
   y = jnp.broadcast_to(jnp.array([0.0, 1, 0], n.dtype), n.shape)
-  cz = jnp.cross(n, z)
-  cy = jnp.cross(n, y)
-  use_z = jnp.sum(cz * cz, axis=-1, keepdims=True) > 1e-14
-  t2 = math.normalize(jnp.where(use_z, cz, cy))
+  seed = jnp.where(jnp.abs(n[..., 1:2]) > 0.5, z, y)
+  t2 = math.normalize(jnp.cross(n, seed))
   t1 = jnp.cross(t2, n)
   return jnp.stack([n, t1, t2], axis=-2)
 
@@ -413,41 +413,102 @@ _COLLIDERS = {
 }
 
 
+def _broadphase_distance(m: Model, d: Data, grp, dtype) -> jax.Array:
+  """(npairs,) conservative distance for top-K selection (exact for
+  plane/sphere/capsule combinations, bounding-sphere otherwise)."""
+  t1, t2 = grp.t1, grp.t2
+  pos1 = d.geom_xpos[grp.g1]
+  pos2 = d.geom_xpos[grp.g2]
+  size1 = jnp.asarray(m.geom_size[grp.g1], dtype)
+  size2 = jnp.asarray(m.geom_size[grp.g2], dtype)
+
+  def seg(pos, mat, size):
+    axis = mat[:, :, 2]
+    hl = size[:, 1:2]
+    return pos - hl * axis, pos + hl * axis
+
+  if t1 == GeomType.PLANE:
+    n = d.geom_xmat[grp.g1][:, :, 2]
+    if t2 == GeomType.SPHERE:
+      return jnp.einsum('px,px->p', n, pos2 - pos1) - size2[:, 0]
+    if t2 == GeomType.CAPSULE:
+      a, b = seg(pos2, d.geom_xmat[grp.g2], size2)
+      ha = jnp.einsum('px,px->p', n, a - pos1)
+      hb = jnp.einsum('px,px->p', n, b - pos1)
+      return jnp.minimum(ha, hb) - size2[:, 0]
+    rb2 = jnp.asarray(m.geom_rbound[grp.g2], dtype)
+    return jnp.einsum('px,px->p', n, pos2 - pos1) - rb2
+  if (t1, t2) == (GeomType.SPHERE, GeomType.SPHERE):
+    return math.norm_safe(pos2 - pos1) - size1[:, 0] - size2[:, 0]
+  if (t1, t2) == (GeomType.SPHERE, GeomType.CAPSULE):
+    a, b = seg(pos2, d.geom_xmat[grp.g2], size2)
+    c = math.closest_segment_point(a, b, pos1)
+    return math.norm_safe(c - pos1) - size1[:, 0] - size2[:, 0]
+  if (t1, t2) == (GeomType.CAPSULE, GeomType.CAPSULE):
+    a1, b1 = seg(pos1, d.geom_xmat[grp.g1], size1)
+    a2, b2 = seg(pos2, d.geom_xmat[grp.g2], size2)
+    c1, c2 = math.closest_segment_to_segment_points(a1, b1, a2, b2)
+    return math.norm_safe(c2 - c1) - size1[:, 0] - size2[:, 0]
+  rb1 = jnp.asarray(m.geom_rbound[grp.g1], dtype)
+  rb2 = jnp.asarray(m.geom_rbound[grp.g2], dtype)
+  return math.norm_safe(pos2 - pos1) - rb1 - rb2
+
+
 def collide_all(m: Model, d: Data) -> Data:
   from dm_control_tpu._src import collision as coll
   dtype = d.qpos.dtype
-  entries = coll._pair_entries(m)
-  if not entries:
-    return d
 
   all_dist, all_pos, all_frame = [], [], []
   all_margin, all_friction = [], []
   all_solref, all_solimp = [], []
   all_g1, all_g2, all_dim = [], [], []
+  all_b1, all_b2 = [], []
 
-  # group contiguous entries by type pair (entries are already grouped)
-  i = 0
-  while i < len(entries):
-    g1, g2, p, npoints = entries[i]
-    t1, t2 = GeomType(int(m.geom_type[g1])), GeomType(int(m.geom_type[g2]))
-    j = i
-    while j < len(entries) and (
-        GeomType(int(m.geom_type[entries[j][0]])),
-        GeomType(int(m.geom_type[entries[j][1]]))) == (t1, t2):
-      j += 1
-    group = entries[i:j]
-    i = j
-
+  for grp in coll.groups(m):
+    t1, t2 = grp.t1, grp.t2
     if (t1, t2) not in _COLLIDERS:
       raise NotImplementedError(f'collider for ({t1}, {t2})')
     fn = _COLLIDERS[(t1, t2)]
+    k = grp.ncon_per_pair
+    K = grp.K
+    incmargin_np = grp.margin - grp.gap
+    bodies1 = m.geom_bodyid[grp.g1].astype(np.int32)
+    bodies2 = m.geom_bodyid[grp.g2].astype(np.int32)
 
-    idx1 = np.array([e[0] for e in group])
-    idx2 = np.array([e[1] for e in group])
-    pos1, mat1 = d.geom_xpos[idx1], d.geom_xmat[idx1]
-    pos2, mat2 = d.geom_xpos[idx2], d.geom_xmat[idx2]
-    size1 = jnp.asarray(m.geom_size[idx1], dtype)
-    size2 = jnp.asarray(m.geom_size[idx2], dtype)
+    if not grp.dynamic:
+      g1s, g2s = grp.g1, grp.g2   # static constants
+      pos1, mat1 = d.geom_xpos[g1s], d.geom_xmat[g1s]
+      pos2, mat2 = d.geom_xpos[g2s], d.geom_xmat[g2s]
+      size1 = jnp.asarray(m.geom_size[g1s], dtype)
+      size2 = jnp.asarray(m.geom_size[g2s], dtype)
+      solref = jnp.asarray(grp.solref, dtype)
+      solimp = jnp.asarray(grp.solimp, dtype)
+      incmargin = jnp.asarray(incmargin_np, dtype)
+      geom1 = jnp.asarray(grp.g1)
+      geom2 = jnp.asarray(grp.g2)
+      body1 = jnp.asarray(bodies1)
+      body2 = jnp.asarray(bodies2)
+    else:
+      # top-K broadphase.  For sphere/capsule/plane combinations the
+      # score is the EXACT narrowphase distance (cheap closed forms), so
+      # the selection can only drop a pair when more than K pairs are
+      # simultaneously deepest — bounding-sphere ordering alone misses
+      # grazing capsule contacts (seen on humanoid_CMU self-collisions).
+      overlap = _broadphase_distance(m, d, grp, dtype)
+      score = overlap - jnp.asarray(incmargin_np, dtype)
+      _, idx = jax.lax.top_k(-score, K)
+      g1s = jnp.asarray(grp.g1)[idx]
+      g2s = jnp.asarray(grp.g2)[idx]
+      pos1, mat1 = d.geom_xpos[g1s], d.geom_xmat[g1s]
+      pos2, mat2 = d.geom_xpos[g2s], d.geom_xmat[g2s]
+      size1 = jnp.asarray(m.geom_size, dtype)[g1s]
+      size2 = jnp.asarray(m.geom_size, dtype)[g2s]
+      solref = jnp.asarray(grp.solref, dtype)[idx]
+      solimp = jnp.asarray(grp.solimp, dtype)[idx]
+      incmargin = jnp.asarray(incmargin_np, dtype)[idx]
+      geom1, geom2 = g1s, g2s
+      body1 = jnp.asarray(bodies1)[idx]
+      body2 = jnp.asarray(bodies2)[idx]
 
     dist, pos, normal_or_frame = fn(pos1, mat1, size1, pos2, mat2, size2)
     if normal_or_frame.ndim == pos.ndim + 1:
@@ -455,33 +516,35 @@ def collide_all(m: Model, d: Data) -> Data:
     else:
       frame = make_frame(normal_or_frame)
 
-    # flatten (npairs, k, ...) -> (npairs*k, ...): row-major matches the
-    # per-entry-then-per-point order of collision._pair_entries
-    ng, k = dist.shape
-    all_dist.append(dist.reshape(ng * k))
-    all_pos.append(pos.reshape(ng * k, 3))
-    all_frame.append(frame.reshape(ng * k, 3, 3))
-    for gg1, gg2, pp, nn in group:
-      condim, friction, solref, solimp, margin, gap = _combine_params(
-          m, gg1, gg2, pp)
-      all_margin += [margin - gap] * nn
-      all_friction += [friction] * nn
-      all_solref += [solref] * nn
-      all_solimp += [solimp] * nn
-      all_g1 += [gg1] * nn
-      all_g2 += [gg2] * nn
-      all_dim += [condim] * nn
+    def rep(x):
+      return jnp.repeat(x, k, axis=0)
+
+    all_dist.append(dist.reshape(K * k))
+    all_pos.append(pos.reshape(K * k, 3))
+    all_frame.append(frame.reshape(K * k, 3, 3))
+    all_margin.append(rep(incmargin))
+    all_friction.append(jnp.broadcast_to(
+        jnp.asarray(grp.friction, dtype)[None], (K * k, 5)))
+    all_solref.append(rep(solref))
+    all_solimp.append(rep(solimp))
+    all_g1.append(rep(geom1).astype(jnp.int32))
+    all_g2.append(rep(geom2).astype(jnp.int32))
+    all_b1.append(rep(body1).astype(jnp.int32))
+    all_b2.append(rep(body2).astype(jnp.int32))
+    all_dim.append(jnp.full((K * k,), grp.condim, jnp.int32))
 
   contact = Contact(
       dist=jnp.concatenate(all_dist),
       pos=jnp.concatenate(all_pos),
       frame=jnp.concatenate(all_frame),
-      includemargin=jnp.asarray(np.array(all_margin), dtype),
-      friction=jnp.asarray(np.stack(all_friction), dtype),
-      solref=jnp.asarray(np.stack(all_solref), dtype),
-      solimp=jnp.asarray(np.stack(all_solimp), dtype),
-      geom1=jnp.asarray(np.array(all_g1), jnp.int32),
-      geom2=jnp.asarray(np.array(all_g2), jnp.int32),
-      dim=jnp.asarray(np.array(all_dim), jnp.int32),
+      includemargin=jnp.concatenate(all_margin),
+      friction=jnp.concatenate(all_friction),
+      solref=jnp.concatenate(all_solref),
+      solimp=jnp.concatenate(all_solimp),
+      geom1=jnp.concatenate(all_g1),
+      geom2=jnp.concatenate(all_g2),
+      body1=jnp.concatenate(all_b1),
+      body2=jnp.concatenate(all_b2),
+      dim=jnp.concatenate(all_dim),
   )
   return d.replace(contact=contact)

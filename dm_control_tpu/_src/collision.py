@@ -1,22 +1,30 @@
-"""Narrowphase collision detection over static candidate pairs.
+"""Collision candidate management: static groups + top-K broadphase.
 
-Replaces the reference's native collision stage (part of mj_step's pipeline,
-driven from dm_control/mujoco/engine.py:153-171).  TPU design: the
-candidate pair list is enumerated at build time (Model.collision_pairs,
-grouped by geom-type pair); each narrowphase function is branch-free and
-batched over its pair group; results are written into a fixed-size padded
-Contact buffer (active rows flagged by dist < includemargin).
+Replaces the reference's native broadphase/narrowphase stage (inside
+mj_step's pipeline, dm_control/mujoco/engine.py:153-171).  TPU design:
+
+  * Candidate pairs are enumerated at build time and grouped by
+    (geom-type pair, condim, friction) so every group is one batched,
+    branch-free narrowphase computation with static shapes.
+  * Groups larger than `Option.broadphase_threshold` get a dynamic
+    top-K broadphase: each step, the K most-overlapping candidate pairs
+    (bounding-sphere / plane-halfspace test) are selected with lax.top_k
+    and only those K run narrowphase.  This keeps dog-scale models
+    (6k+ candidate pairs, <= ~12 simultaneously active) at a fixed small
+    contact capacity instead of thousands of padded rows.
+  * Selected-pair parameters (solref/solimp/margin/bodies) are gathers
+    of static per-pair tables; condim and friction are uniform within a
+    group by construction, so the efc row layout stays fully static.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dm_control_tpu._src import math
 from dm_control_tpu._src.types import (ConeType, Contact, Data, DisableBit,
                                        GeomType, Model)
 
@@ -32,39 +40,90 @@ _PAIR_NCON = {
     (GeomType.SPHERE, GeomType.CYLINDER): 1,
     (GeomType.SPHERE, GeomType.ELLIPSOID): 1,
     (GeomType.SPHERE, GeomType.BOX): 1,
+    (GeomType.SPHERE, GeomType.MESH): 1,
     (GeomType.CAPSULE, GeomType.CAPSULE): 2,
     (GeomType.CAPSULE, GeomType.CYLINDER): 2,
     (GeomType.CAPSULE, GeomType.ELLIPSOID): 1,
     (GeomType.CAPSULE, GeomType.BOX): 2,
+    (GeomType.CAPSULE, GeomType.MESH): 2,
     (GeomType.ELLIPSOID, GeomType.ELLIPSOID): 1,
     (GeomType.ELLIPSOID, GeomType.BOX): 1,
     (GeomType.CYLINDER, GeomType.CYLINDER): 2,
     (GeomType.CYLINDER, GeomType.BOX): 4,
     (GeomType.BOX, GeomType.BOX): 8,
+    (GeomType.MESH, GeomType.MESH): 1,
+    (GeomType.HFIELD, GeomType.SPHERE): 1,
+    (GeomType.HFIELD, GeomType.CAPSULE): 2,
+    (GeomType.HFIELD, GeomType.ELLIPSOID): 1,
+    (GeomType.HFIELD, GeomType.CYLINDER): 4,
 }
 
 
-def _pair_entries(m: Model):
-  """Flat list of (g1, g2, pairinfo, ncon_for_pair)."""
-  out = []
+class PairGroup:
+  """One batched narrowphase group (uniform type pair/condim/friction)."""
+
+  def __init__(self, t1, t2, condim, friction, pairs, params, K):
+    self.t1, self.t2 = t1, t2
+    self.condim = condim
+    self.friction = friction               # (5,) shared by the group
+    self.g1 = np.asarray([p[0] for p in pairs], np.int32)
+    self.g2 = np.asarray([p[1] for p in pairs], np.int32)
+    self.npairs = len(pairs)
+    self.K = K                             # selected pairs (== npairs static)
+    self.dynamic = K < self.npairs
+    self.ncon_per_pair = _PAIR_NCON[(t1, t2)]
+    self.ncon = self.K * self.ncon_per_pair
+    # per-pair static parameter tables (gathered when dynamic)
+    self.solref = np.asarray([p['solref'] for p in params])
+    self.solimp = np.asarray([p['solimp'] for p in params])
+    self.margin = np.asarray([p['margin'] for p in params])
+    self.gap = np.asarray([p['gap'] for p in params])
+
+
+def groups(m: Model) -> List[PairGroup]:
+  cached = m.__dict__.get('_pair_groups')
+  if cached is not None:
+    return cached
+  out = _build_groups(m)
+  m.__dict__['_pair_groups'] = out
+  return out
+
+
+def _build_groups(m: Model) -> List[PairGroup]:
+  from dm_control_tpu._src import colliders
   if m.collision_pairs is None:
-    return out
-  for (t1, t2), lst in m.collision_pairs.items():
-    key = (GeomType(t1), GeomType(t2))
-    if key not in _PAIR_NCON:
-      raise NotImplementedError(f'collider for {key}')
-    n = _PAIR_NCON[key]
-    for g1, g2, p in lst:
-      out.append((g1, g2, p, n))
+    return []
+  if m.opt.disableflags & (DisableBit.CONTACT | DisableBit.CONSTRAINT):
+    return []
+  threshold = int(getattr(m.opt, 'broadphase_threshold', 40))
+  cap = int(getattr(m.opt, 'broadphase_cap', 20))
+
+  keyed = {}
+  for (t1, t2), lst in sorted(m.collision_pairs.items()):
+    tp = (GeomType(t1), GeomType(t2))
+    if tp not in _PAIR_NCON:
+      raise NotImplementedError(f'collider for {tp}')
+    for g1, g2, pairinfo in lst:
+      condim, friction, solref, solimp, margin, gap = (
+          colliders._combine_params(m, g1, g2, pairinfo))
+      key = (tp, condim, tuple(np.asarray(friction, np.float64)))
+      keyed.setdefault(key, []).append(
+          ((g1, g2), dict(solref=solref, solimp=solimp,
+                          margin=margin, gap=gap)))
+
+  out = []
+  for (tp, condim, friction), entries in sorted(
+      keyed.items(), key=lambda kv: (kv[0][0][0], kv[0][0][1], kv[0][1])):
+    pairs = [e[0] for e in entries]
+    params = [e[1] for e in entries]
+    K = len(pairs) if len(pairs) <= threshold else min(len(pairs), cap)
+    out.append(PairGroup(tp[0], tp[1], condim,
+                         np.asarray(friction), pairs, params, K))
   return out
 
 
 def count_max_contacts(m: Model) -> int:
-  # Contacts are also moot when the whole constraint solver is disabled
-  # (e.g. fish/acrobot set constraint=disable): no forces can result.
-  if m.opt.disableflags & (DisableBit.CONTACT | DisableBit.CONSTRAINT):
-    return 0
-  return sum(e[3] for e in _pair_entries(m))
+  return sum(g.ncon for g in groups(m))
 
 
 def count_contact_rows(m: Model) -> int:
@@ -83,8 +142,7 @@ def _pair_condim(m: Model, g1: int, g2: int) -> int:
 
 def collide(m: Model, d: Data) -> Data:
   """Run all narrowphase colliders; fill the padded Contact buffer."""
-  ncon = count_max_contacts(m)
-  if ncon == 0:
+  if count_max_contacts(m) == 0:
     return d
   from dm_control_tpu._src import colliders
   return colliders.collide_all(m, d)

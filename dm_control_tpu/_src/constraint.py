@@ -321,10 +321,14 @@ def contact_jacobians(m: Model, d: Data, lay: efc.Layout):
   con = d.contact
   c = lay.contact
   dtype = d.qpos.dtype
-  mask1 = jnp.asarray(m.body_dof_mask[c.body1], dtype)  # (ncon, nv)
-  mask2 = jnp.asarray(m.body_dof_mask[c.body2], dtype)
-  root1 = m.body_rootid[c.body1]
-  root2 = m.body_rootid[c.body2]
+  # body ids come from the contact buffer: traced when the top-K
+  # broadphase selects pairs dynamically, constant otherwise
+  dof_mask = jnp.asarray(m.body_dof_mask, dtype)
+  rootid = jnp.asarray(m.body_rootid)
+  mask1 = dof_mask[con.body1]  # (ncon, nv)
+  mask2 = dof_mask[con.body2]
+  root1 = rootid[con.body1]
+  root2 = rootid[con.body2]
   cdof_ang, cdof_lin = d.cdof[:, :3], d.cdof[:, 3:]
 
   def jacp(root, mask):
@@ -363,11 +367,9 @@ def _contact_rows(m: Model, d: Data, lay: efc.Layout, blocks: _Blocks):
   dist = con.dist
   margin = con.includemargin
   k, b, imp = _kbi(m, con.solref, con.solimp, dist - margin)
-  # invweight read from the model at trace time (NOT baked into the static
-  # layout): the engine's set_const pass refines body_invweight0 after the
-  # layout may already have been built.
-  iw = jnp.asarray(m.body_invweight0[c.body1, 0]
-                   + m.body_invweight0[c.body2, 0], dtype)
+  # invweight gathered by (possibly traced) contact body ids
+  biw = jnp.asarray(m.body_invweight0[:, 0], dtype)
+  iw = biw[con.body1] + biw[con.body2]
   r_n = jnp.maximum((1.0 - imp) / imp * iw, 1e-14)
   d_n = 1.0 / r_n                      # plain normal-row D
   active = dist < margin

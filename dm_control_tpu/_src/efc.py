@@ -34,14 +34,17 @@ ELLIPTIC = 3   # member row of an elliptic-cone contact (grouped per contact)
 
 
 class ContactLayout:
-  """Static per-contact and per-contact-row metadata (numpy)."""
+  """Static per-contact and per-contact-row metadata (numpy).
+
+  Body/geom ids are NOT stored here: under the top-K broadphase they are
+  traced per step (read from the Contact buffer).  Row structure (condim,
+  friction cone geometry) is uniform within each collision group, so it
+  stays static."""
 
   def __init__(self):
-    # per contact point, in collision pair-entry order
-    self.body1 = []        # (ncon,) body id of geom1
-    self.body2 = []        # (ncon,)
+    # per contact point, in collision group order
     self.condim = []       # (ncon,)
-    self.friction = []     # (ncon, 5)
+    self.friction = []     # (ncon, 5) group-uniform friction
     self.row_start = []    # (ncon,) first efc row of this contact
     # pure normal rows (condim==1 contacts and elliptic normals)
     self.nrm_con = []      # contact index
@@ -57,14 +60,14 @@ class ContactLayout:
     self.ellf_row = []     # efc row index
 
   def finalize(self):
-    for name in ('body1', 'body2', 'condim', 'row_start', 'nrm_con',
+    for name in ('condim', 'row_start', 'nrm_con',
                  'nrm_row', 'pyr_con', 'pyr_dir', 'pyr_row', 'ellf_con',
                  'ellf_dir', 'ellf_row'):
       setattr(self, name, np.asarray(getattr(self, name), np.int32))
     self.pyr_sign = np.asarray(self.pyr_sign, np.float64)
     self.friction = (np.asarray(self.friction, np.float64)
                      if self.friction else np.zeros((0, 5)))
-    self.ncon = len(self.body1)
+    self.ncon = len(self.condim)
     self.max_dir = int(max(
         [d + 1 for d in list(self.pyr_dir) + list(self.ellf_dir)] or [0]))
     return self
@@ -172,19 +175,16 @@ def _build(m: Model) -> Layout:
   elliptic = m.opt.cone == ConeType.ELLIPTIC
   impratio = float(getattr(m.opt, 'impratio', 1.0))
   if not (m.opt.disableflags & DisableBit.CONTACT):
-    entries = coll._pair_entries(m)
-    if entries:
+    cgroups = coll.groups(m)
+    if cgroups:
       c = ContactLayout()
       ell_rows = {}  # condim -> list of row-index tuples
       ci = 0
-      for g1, g2, pairinfo, npoints in entries:
-        condim, friction, _, _, _, _ = colliders._combine_params(
-            m, g1, g2, pairinfo)
-        b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
-        for _ in range(npoints):
+      for grp in cgroups:
+        condim = grp.condim
+        friction = grp.friction
+        for _ in range(grp.ncon):
           r0 = len(types)
-          c.body1.append(b1)
-          c.body2.append(b2)
           c.condim.append(condim)
           c.friction.append(friction)
           c.row_start.append(r0)

@@ -62,6 +62,8 @@ def make_data(m: Model, dtype=None) -> Data:
           friction=z(ncon, 5), solref=z(ncon, 2), solimp=z(ncon, 5),
           geom1=jnp.full((ncon,), -1, jnp.int32),
           geom2=jnp.full((ncon,), -1, jnp.int32),
+          body1=jnp.zeros((ncon,), jnp.int32),
+          body2=jnp.zeros((ncon,), jnp.int32),
           dim=jnp.full((ncon,), 3, jnp.int32)),
       efc_J=z(nefc, nv), efc_pos=z(nefc), efc_margin=z(nefc),
       efc_D=z(nefc), efc_aref=z(nefc), efc_frictionloss=z(nefc),

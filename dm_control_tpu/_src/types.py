@@ -225,6 +225,13 @@ class Option:
   ls_tolerance: float = 0.01
   impratio: float = 1.0
   disableflags: int = 0
+  noslip_iterations: int = 0
+  noslip_tolerance: float = 1e-6
+  # top-K broadphase (TPU static-shape analog of the reference's dynamic
+  # broadphase): candidate-pair groups larger than the threshold only
+  # narrowphase their `cap` most-overlapping pairs each step.
+  broadphase_threshold: int = 40
+  broadphase_cap: int = 20
   # o_margin / o_solref / o_solimp defaults for pair overrides
   o_margin: float = 0.0
   o_solref: Tuple[float, float] = (0.02, 1.0)
@@ -470,6 +477,8 @@ class Contact:
   solimp: jax.Array     # (ncon, 5)
   geom1: jax.Array      # (ncon,) i4
   geom2: jax.Array      # (ncon,) i4
+  body1: jax.Array      # (ncon,) i4 (traced: dynamic under top-K broadphase)
+  body2: jax.Array      # (ncon,) i4
   dim: jax.Array        # (ncon,) i4 condim
 
 

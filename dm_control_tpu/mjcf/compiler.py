@@ -686,7 +686,8 @@ class MJCFCompiler:
   # -- non-worldbody sections ----------------------------------------------
 
   def _parse_tendons(self):
-    sec = self.root.find('tendon')
+    sec = [el for s in self.root.findall('tendon') for el in s]
+    sec = sec or None
     if sec is None:
       return
     for t in sec:
@@ -730,7 +731,8 @@ class MJCFCompiler:
       self.b.tendons.append(rec)
 
   def _parse_actuators(self):
-    sec = self.root.find('actuator')
+    sec = [el for s in self.root.findall('actuator') for el in s]
+    sec = sec or None
     if sec is None:
       return
     for el in sec:
@@ -808,7 +810,8 @@ class MJCFCompiler:
       ))
 
   def _parse_sensors(self):
-    sec = self.root.find('sensor')
+    sec = [el for s in self.root.findall('sensor') for el in s]
+    sec = sec or None
     if sec is None:
       return
     for el in sec:
@@ -837,12 +840,14 @@ class MJCFCompiler:
       ))
 
   def _parse_equality(self):
-    sec = self.root.find('equality')
+    sec = [el for s in self.root.findall('equality') for el in s]
+    sec = sec or None
     if sec is None:
       return
     for el in sec:
       cls = el.attrib.get('class', 'main')
-      a = dict(self.defaults.resolve(cls, el.tag))
+      # defaults for all equality kinds live under the <equality> tag
+      a = dict(self.defaults.resolve(cls, 'equality'))
       a.update(el.attrib)
       data = np.zeros(11)
       if el.tag == 'connect':
@@ -878,7 +883,8 @@ class MJCFCompiler:
       ))
 
   def _parse_contact(self):
-    sec = self.root.find('contact')
+    sec = [el for s in self.root.findall('contact') for el in s]
+    sec = sec or None
     if sec is None:
       return
     for el in sec:
@@ -903,7 +909,8 @@ class MJCFCompiler:
         ))
 
   def _parse_keyframes(self):
-    sec = self.root.find('keyframe')
+    sec = [el for s in self.root.findall('keyframe') for el in s]
+    sec = sec or None
     if sec is None:
       return
     for el in sec.findall('key'):
