@@ -390,6 +390,46 @@ def _box_box(pos1, mat1, size1, pos2, mat2, size2):
           jnp.concatenate([o[2] for o in outs], -2))
 
 
+def _dir_radius(e_mat, e_size, n):
+  """Ellipsoid support radius along world direction n."""
+  nl = jnp.einsum('...ij,...i->...j', e_mat, n)
+  return 1.0 / jnp.maximum(math.norm_safe(nl / e_size), 1e-12)
+
+
+def _ellipsoid_cylinder(e_pos, e_mat, e_size, c_pos, c_mat, c_size):
+  """Ellipsoid vs cylinder via directional effective radius (two-pass
+  sphere-cylinder; adequate for the dog's decorative collision pairs)."""
+  d0, p0, n0 = _sphere_cylinder(e_pos, e_mat,
+                                jnp.zeros_like(e_size), c_pos, c_mat,
+                                c_size)
+  n = n0[..., 0, :]
+  r = _dir_radius(e_mat, e_size, n)
+  dist = d0[..., 0] - r
+  pos = p0[..., 0, :] + n * (r / 2)[..., None]
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _ellipsoid_box(e_pos, e_mat, e_size, b_pos, b_mat, b_size):
+  """Ellipsoid vs box via directional effective radius."""
+  d0, p0, n0 = _sphere_box(e_pos, e_mat, jnp.zeros_like(e_size),
+                           b_pos, b_mat, b_size)
+  n = n0[..., 0, :]
+  r = _dir_radius(e_mat, e_size, n)
+  dist = d0[..., 0] - r
+  pos = p0[..., 0, :] + n * (r / 2)[..., None]
+  return dist[..., None], pos[..., None, :], n[..., None, :]
+
+
+def _cylinder_box(c_pos, c_mat, c_size, b_pos, b_mat, b_size):
+  """Cylinder vs box: capsule approximation of the cylinder, padded to
+  the 4-slot layout."""
+  d2, p2, n2 = _capsule_box(c_pos, c_mat, c_size, b_pos, b_mat, b_size)
+  big = jnp.full_like(d2, 1e10)
+  return (jnp.concatenate([d2, big], -1),
+          jnp.concatenate([p2, p2], -2),
+          jnp.concatenate([n2, n2], -2))
+
+
 _COLLIDERS = {
     (GeomType.PLANE, GeomType.SPHERE): _plane_sphere,
     (GeomType.PLANE, GeomType.CAPSULE): _plane_capsule,
@@ -403,6 +443,9 @@ _COLLIDERS = {
     (GeomType.SPHERE, GeomType.BOX): _sphere_box,
     (GeomType.CAPSULE, GeomType.ELLIPSOID): _capsule_ellipsoid,
     (GeomType.ELLIPSOID, GeomType.ELLIPSOID): _ellipsoid_ellipsoid,
+    (GeomType.ELLIPSOID, GeomType.CYLINDER): _ellipsoid_cylinder,
+    (GeomType.ELLIPSOID, GeomType.BOX): _ellipsoid_box,
+    (GeomType.CYLINDER, GeomType.BOX): _cylinder_box,
     (GeomType.CAPSULE, GeomType.CAPSULE): _capsule_capsule,
     (GeomType.CAPSULE, GeomType.CYLINDER): _capsule_cylinder,
     (GeomType.CAPSULE, GeomType.BOX): _capsule_box,
@@ -411,6 +454,113 @@ _COLLIDERS = {
     # exact cylinder geom2 (adequate for the suite's rare cyl-cyl pairs)
     (GeomType.CYLINDER, GeomType.CYLINDER): _capsule_cylinder,
 }
+
+
+# ---------------------------------------------------------------------------
+# Heightfield collision: local-surface-plane approximation.
+# The reference decomposes heightfields into triangular prisms; here each
+# candidate point samples the bilinear height + gradient under it and
+# collides against the local tangent plane — behaviorally equivalent for
+# terrain locomotion (quadruped escape) at static shapes.
+# ---------------------------------------------------------------------------
+
+
+def hfield_height(m: Model, d: Data, hid: int, xy):
+  """Bilinear height + gradient of hfield `hid` at local xy (..., 2)."""
+  from dm_control_tpu._src import smooth
+  dtype = xy.dtype
+  nrow = int(m.hfield_nrow[hid])
+  ncol = int(m.hfield_ncol[hid])
+  adr = int(m.hfield_adr[hid])
+  sx, sy, sz = [float(v) for v in m.hfield_size[hid][:3]]
+  data = smooth.mparam(m, d, 'hfield_data')[adr:adr + nrow * ncol]
+  grid = data.reshape(nrow, ncol) * sz
+  fx = (xy[..., 0] + sx) / (2 * sx) * (ncol - 1)
+  fy = (xy[..., 1] + sy) / (2 * sy) * (nrow - 1)
+  fx = jnp.clip(fx, 0.0, ncol - 1 - 1e-6)
+  fy = jnp.clip(fy, 0.0, nrow - 1 - 1e-6)
+  x0 = jnp.floor(fx).astype(jnp.int32)
+  y0 = jnp.floor(fy).astype(jnp.int32)
+  tx = fx - x0
+  ty = fy - y0
+  h00 = grid[y0, x0]
+  h01 = grid[y0, x0 + 1]
+  h10 = grid[y0 + 1, x0]
+  h11 = grid[y0 + 1, x0 + 1]
+  h = (h00 * (1 - tx) * (1 - ty) + h01 * tx * (1 - ty)
+       + h10 * (1 - tx) * ty + h11 * tx * ty)
+  dx_spacing = 2 * sx / (ncol - 1)
+  dy_spacing = 2 * sy / (nrow - 1)
+  dhdx = ((h01 - h00) * (1 - ty) + (h11 - h10) * ty) / dx_spacing
+  dhdy = ((h10 - h00) * (1 - tx) + (h11 - h01) * tx) / dy_spacing
+  return h, dhdx, dhdy
+
+
+def _hfield_point(m, d, hid, h_pos, h_mat, pts, radius):
+  """Collide world points (n,3) with radii against hfield `hid`.
+
+  Returns (dist, pos, n_world) like the point-vs-plane colliders."""
+  local = jnp.einsum('nij,ni->nj', h_mat, pts - h_pos)
+  h, dhdx, dhdy = hfield_height(m, d, hid, local[..., :2])
+  n_local = math.normalize(jnp.stack(
+      [-dhdx, -dhdy, jnp.ones_like(h)], axis=-1))
+  surf = jnp.stack([local[..., 0], local[..., 1], h], axis=-1)
+  dist = jnp.einsum('nx,nx->n', local - surf, n_local) - radius
+  n_world = jnp.einsum('nij,nj->ni', h_mat, n_local)
+  pos = pts - n_world * (radius + dist / 2)[..., None]
+  return dist, pos, n_world
+
+
+def _collide_hfield(m: Model, d: Data, grp, g1s, pos2, mat2, size2):
+  """Heightfield vs sphere/capsule/ellipsoid/cylinder."""
+  t2 = grp.t2
+  hid = int(m.geom_dataid[grp.g1[0]])
+  h_pos = d.geom_xpos[g1s]
+  h_mat = d.geom_xmat[g1s]
+  if t2 == GeomType.SPHERE:
+    dd, pp, nn = _hfield_point(m, d, hid, h_pos, h_mat, pos2,
+                               size2[..., 0])
+    return dd[:, None], pp[:, None, :], nn[:, None, :]
+  if t2 == GeomType.ELLIPSOID:
+    # bottom support point approximation (local up in hfield frame)
+    up = h_mat[..., :, 2]
+    nl = jnp.einsum('nij,ni->nj', mat2, -up)
+    sp_l = (size2 * size2 * nl) / jnp.maximum(
+        math.norm_safe(nl * size2), 1e-12)[..., None]
+    sp = pos2 + jnp.einsum('nij,nj->ni', mat2, sp_l)
+    dd, pp, nn = _hfield_point(m, d, hid, h_pos, h_mat, sp,
+                               jnp.zeros_like(size2[..., 0]))
+    return dd[:, None], pp[:, None, :], nn[:, None, :]
+  if t2 == GeomType.CAPSULE:
+    axis = mat2[..., :, 2]
+    hl = size2[..., 1:2]
+    outs = [
+        _hfield_point(m, d, hid, h_pos, h_mat, pos2 + s * hl * axis,
+                      size2[..., 0])
+        for s in (1.0, -1.0)
+    ]
+    return (jnp.stack([o[0] for o in outs], 1),
+            jnp.stack([o[1] for o in outs], 1),
+            jnp.stack([o[2] for o in outs], 1))
+  if t2 == GeomType.CYLINDER:
+    axis = mat2[..., :, 2]
+    r = size2[..., 0:1]
+    hl = size2[..., 1:2]
+    up = h_mat[..., :, 2]
+    proj = -up + axis * jnp.sum(up * axis, -1, keepdims=True)
+    radial = jnp.where(
+        (math.norm_safe(proj) > 1e-8)[..., None],
+        math.normalize(proj), mat2[..., :, 0])
+    outs = []
+    for se in (1.0, -1.0):
+      for sr in (1.0, -1.0):
+        p = pos2 + se * hl * axis + sr * r * radial
+        outs.append(_hfield_point(m, d, hid, h_pos, h_mat, p,
+                                  jnp.zeros_like(size2[..., 0])))
+    return (jnp.stack([o[0] for o in outs], 1),
+            jnp.stack([o[1] for o in outs], 1),
+            jnp.stack([o[2] for o in outs], 1))
+  raise NotImplementedError(f'hfield vs {t2}')
 
 
 def _broadphase_distance(m: Model, d: Data, grp, dtype) -> jax.Array:
@@ -466,9 +616,12 @@ def collide_all(m: Model, d: Data) -> Data:
 
   for grp in coll.groups(m):
     t1, t2 = grp.t1, grp.t2
-    if (t1, t2) not in _COLLIDERS:
+    if t1 == GeomType.HFIELD:
+      fn = None  # dispatched to _collide_hfield below
+    elif (t1, t2) not in _COLLIDERS:
       raise NotImplementedError(f'collider for ({t1}, {t2})')
-    fn = _COLLIDERS[(t1, t2)]
+    else:
+      fn = _COLLIDERS[(t1, t2)]
     k = grp.ncon_per_pair
     K = grp.K
     incmargin_np = grp.margin - grp.gap
@@ -510,7 +663,11 @@ def collide_all(m: Model, d: Data) -> Data:
       body1 = jnp.asarray(bodies1)[idx]
       body2 = jnp.asarray(bodies2)[idx]
 
-    dist, pos, normal_or_frame = fn(pos1, mat1, size1, pos2, mat2, size2)
+    if t1 == GeomType.HFIELD:
+      dist, pos, normal_or_frame = _collide_hfield(
+          m, d, grp, g1s, pos2, mat2, size2)
+    else:
+      dist, pos, normal_or_frame = fn(pos1, mat1, size1, pos2, mat2, size2)
     if normal_or_frame.ndim == pos.ndim + 1:
       frame = normal_or_frame
     else:

@@ -48,6 +48,7 @@ _PAIR_NCON = {
     (GeomType.CAPSULE, GeomType.MESH): 2,
     (GeomType.ELLIPSOID, GeomType.ELLIPSOID): 1,
     (GeomType.ELLIPSOID, GeomType.BOX): 1,
+    (GeomType.ELLIPSOID, GeomType.CYLINDER): 1,
     (GeomType.CYLINDER, GeomType.CYLINDER): 2,
     (GeomType.CYLINDER, GeomType.BOX): 4,
     (GeomType.BOX, GeomType.BOX): 8,

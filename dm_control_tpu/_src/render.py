@@ -146,6 +146,73 @@ def _plane_hit(ol, dl):
 # ---------------------------------------------------------------------------
 
 
+def raycast(m: Model, d: Data, origin: jax.Array, direction: jax.Array,
+            exclude_body: int = -1) -> jax.Array:
+  """Distance along `direction` from `origin` to the nearest geom surface
+  (-1.0 if none).  Replaces the reference's mj_ray (used by rangefinder
+  sensors, dm_control/suite/quadruped.py:206-212).  Mesh geoms are
+  skipped; heightfields use a march+bisection against the bilinear
+  surface."""
+  dtype = origin.dtype
+  dirs = direction[None]
+  best = jnp.full((), _BIG, dtype)
+  for g in range(m.ngeom):
+    if exclude_body >= 0 and int(m.geom_bodyid[g]) == exclude_body:
+      continue
+    gt = GeomType(int(m.geom_type[g]))
+    if gt == GeomType.MESH:
+      continue
+    pos, mat = d.geom_xpos[g], d.geom_xmat[g]
+    size = jnp.asarray(m.geom_size[g], dtype)
+    ol, dl = _to_local(origin, dirs, pos, mat)
+    if gt == GeomType.PLANE:
+      t, _ = _plane_hit(ol, dl)
+    elif gt == GeomType.SPHERE:
+      t, _ = _sphere_hit(ol, dl, size[0])
+    elif gt == GeomType.CAPSULE:
+      t, _ = _capsule_hit(ol, dl, size[0], size[1])
+    elif gt == GeomType.CYLINDER:
+      t, _ = _cylinder_hit(ol, dl, size[0], size[1])
+    elif gt == GeomType.BOX:
+      t, _ = _box_hit(ol, dl, size)
+    elif gt == GeomType.ELLIPSOID:
+      t, _ = _ellipsoid_hit(ol, dl, size)
+    elif gt == GeomType.HFIELD:
+      t = _hfield_ray(m, d, int(m.geom_dataid[g]), ol[0], dl[0])[None]
+    else:
+      continue
+    best = jnp.minimum(best, t[0])
+  return jnp.where(best > 0.5 * _BIG, jnp.asarray(-1.0, dtype), best)
+
+
+def _hfield_ray(m: Model, d: Data, hid: int, ol, dl):
+  """March + bisect a local-frame ray against the hfield surface."""
+  from dm_control_tpu._src import colliders
+  dtype = ol.dtype
+  sx, sy, sz = [float(v) for v in m.hfield_size[hid][:3]]
+  tmax = 2.0 * float(np.sqrt(sx * sx + sy * sy + sz * sz))
+  ts = jnp.linspace(0.0, tmax, 64).astype(dtype)
+  pts = ol[None, :] + ts[:, None] * dl[None, :]
+  h, _, _ = colliders.hfield_height(m, d, hid, pts[:, :2])
+  inside = (jnp.abs(pts[:, 0]) <= sx) & (jnp.abs(pts[:, 1]) <= sy)
+  below = (pts[:, 2] < h) & inside & (ts > 1e-6)
+  hit_any = jnp.any(below)
+  first = jnp.argmax(below)
+  lo = ts[jnp.maximum(first - 1, 0)]
+  hi = ts[first]
+
+  def bisect(_, carry):
+    lo, hi = carry
+    mid = 0.5 * (lo + hi)
+    p = ol + mid * dl
+    hm, _, _ = colliders.hfield_height(m, d, hid, p[:2])
+    under = p[2] < hm
+    return jnp.where(under, lo, mid), jnp.where(under, mid, hi)
+
+  lo, hi = jax.lax.fori_loop(0, 12, bisect, (lo, hi))
+  return jnp.where(hit_any, 0.5 * (lo + hi), _BIG)
+
+
 def camera_pose(m: Model, d: Data, camera_id: int):
   """(position, rotation) of a model camera in world frame.
 

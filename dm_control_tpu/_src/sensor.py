@@ -235,6 +235,12 @@ def sensors(m: Model, d: Data, stages: str = 'all') -> Data:
       val = mat.T @ jnp.asarray(m.opt.magnetic, dtype)
     elif stype == SensorType.CLOCK:
       val = d.time
+    elif stype == SensorType.RANGEFINDER:
+      from dm_control_tpu._src import render
+      origin = d.site_xpos[objid]
+      direction = d.site_xmat[objid][:, 2]
+      val = render.raycast(m, d, origin, direction,
+                           exclude_body=int(m.site_bodyid[objid]))
     elif stype == SensorType.ACCELEROMETER:
       val = _site_accel(m, d, objid, cacc)[3:]
     elif stype == SensorType.FORCE:

@@ -76,6 +76,22 @@ def set_const(m: Model) -> Model:
     m.tendon_invweight0 = np.asarray(res['tendon_invweight0'], np.float64)
   if m.nu:
     m.actuator_acc0 = np.asarray(res['actuator_acc0'], np.float64)
+  # springdamper joints: the reference compiler derives stiffness/damping
+  # from the dof inertia so the joint behaves as a mass-spring-damper with
+  # the given (timeconst, dampratio): k = I/(t^2 z^2), d = 2 I/t
+  # (fitted exactly against the oracle's dog.xml caudal joints).
+  if m.jnt_springdamper is not None and m.njnt:
+    m.jnt_stiffness = np.array(m.jnt_stiffness, np.float64)
+    m.dof_damping = np.array(m.dof_damping, np.float64)
+    for j in range(m.njnt):
+      tau, zeta = m.jnt_springdamper[j]
+      if tau <= 0:
+        continue
+      dadr = int(m.jnt_dofadr[j])
+      inertia = 1.0 / max(float(m.dof_invweight0[dadr]), 1e-12)
+      m.jnt_stiffness[j] = inertia / (tau * tau * zeta * zeta)
+      m.dof_damping[dadr] = 2.0 * inertia / tau
+
   m.stat_meaninertia = float(res['meaninertia'])
   # any efc layout cached during this pass saw placeholder invweights;
   # layouts are structural-only now, but drop it anyway for hygiene.

@@ -155,9 +155,66 @@ def solve(m: Model, d: Data) -> Data:
   x, force = core(d.efc_J, d.qM, d.efc_aref, d.efc_D,
                   d.efc_frictionloss, d.efc_active.astype(dtype),
                   d.qacc_smooth, warm)
+  if int(getattr(m.opt, 'noslip_iterations', 0)) > 0:
+    x, force = _noslip(m, lay, d, x, force)
   qfrc_constraint = d.efc_J.T @ force
   return d.replace(qacc=x, qfrc_constraint=qfrc_constraint,
                    efc_force=force, qacc_warmstart=x)
+
+
+def _noslip(m: Model, lay: efc.Layout, d: Data, x, force):
+  """Post-solver friction refinement (reference mj_noslip semantics).
+
+  The reference reruns a modified PGS on the friction rows with zero
+  regularization so static contacts do not drift.  Here: damped Jacobi
+  sweeps on the unregularized friction-row residuals, clamped to the
+  friction cone section set by the main solve's normal forces (pyramid:
+  |f+ - f-| <= f+ + f-; dof friction: |f| <= frictionloss)."""
+  dtype = x.dtype
+  from dm_control_tpu._src import linalg
+  J = d.efc_J
+  # M^-1 J^T rows via the cached Cholesky factor
+  minv_jt = jax.vmap(lambda r: linalg.cho_solve(d.qLD, r))(J)  # (nefc, nv)
+  diag_a = jnp.maximum(jnp.einsum('iv,iv->i', J, minv_jt), 1e-12)
+  c = lay.contact
+  fric_rows = np.where(lay.types == FRICTION)[0]
+  pyr_pairs = (c.pyr_row.reshape(-1, 2) if c is not None and c.pyr_row.size
+               else np.zeros((0, 2), np.int32))
+  ell = lay.ell_groups
+
+  def body(_, f):
+    qacc = d.qacc_smooth + minv_jt.T @ f
+    jar = J @ qacc - d.efc_aref
+    jar = jnp.where(d.efc_active, jar, 0.0)
+    if len(fric_rows):
+      upd = f[fric_rows] - jar[fric_rows] / diag_a[fric_rows]
+      fl = d.efc_frictionloss[fric_rows]
+      f = f.at[fric_rows].set(jnp.clip(upd, -fl, fl))
+    if len(pyr_pairs):
+      ip, im = pyr_pairs[:, 0], pyr_pairs[:, 1]
+      s = f[ip] + f[im]                      # pyramid "normal" budget
+      u = f[ip] - f[im]
+      slip = 0.5 * (jar[ip] - jar[im])
+      u = u - slip / (0.5 * (diag_a[ip] + diag_a[im]))
+      u = jnp.clip(u, -s, s)
+      f = f.at[ip].set(0.5 * (s + u))
+      f = f.at[im].set(0.5 * (s - u))
+    for k, (rows, mu, scale) in ell.items():
+      fr = rows[:, 1:]
+      fn = f[rows[:, 0]]
+      upd = f[fr] - jar[fr] / diag_a[fr]
+      # clamp to the elliptic cone section at the current normal force
+      lim = (jnp.asarray(mu, dtype) * fn)[:, None] * jnp.asarray(
+          scale[:, 1:], dtype)
+      norm = jnp.sqrt(jnp.maximum(
+          jnp.sum((upd / jnp.maximum(lim, 1e-12)) ** 2, axis=1), 1e-12))
+      upd = upd * jnp.minimum(1.0, 1.0 / norm)[:, None]
+      f = f.at[fr].set(upd)
+    return f
+
+  force = jax.lax.fori_loop(0, int(m.opt.noslip_iterations), body, force)
+  x = d.qacc_smooth + minv_jt.T @ force
+  return x, force
 
 
 def _get_core(m: Model, lay: efc.Layout, niter: int, ls_iter: int):

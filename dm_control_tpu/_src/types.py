@@ -313,6 +313,7 @@ class Model:
   jnt_margin: np.ndarray = None     # (njnt,)
   jnt_solref: np.ndarray = None     # (njnt, 2)
   jnt_solimp: np.ndarray = None     # (njnt, 5)
+  jnt_springdamper: np.ndarray = None  # (njnt, 2) timeconst, dampratio
 
   # dofs -------------------------------------------------------------------
   dof_bodyid: np.ndarray = None     # (nv,) i4
@@ -349,6 +350,14 @@ class Model:
   mesh_vert: Any = None             # [nmesh] (nvert_i, 3)
   mesh_face: Any = None             # [nmesh] (nface_i, 3) i4
   mesh_hull: Any = None             # [nmesh] (nhull_i, 3) collision hull
+
+  # heightfield assets -------------------------------------------------------
+  nhfield: int = 0
+  hfield_size: np.ndarray = None    # (nhfield, 4) x, y, z_top, z_bottom
+  hfield_nrow: np.ndarray = None    # (nhfield,) i4
+  hfield_ncol: np.ndarray = None    # (nhfield,) i4
+  hfield_adr: np.ndarray = None     # (nhfield,) i4
+  hfield_data: np.ndarray = None    # (sum nrow*ncol,) in [0, 1]
 
   # sites ------------------------------------------------------------------
   site_bodyid: np.ndarray = None    # (nsite,) i4

@@ -444,6 +444,8 @@ class MJCFCompiler:
 
   def _parse_mesh_assets(self):
     from dm_control_tpu.mjcf import meshes
+    self._hfields = {}      # name -> dict(size, nrow, ncol)
+    self._hfield_order = []
     for asset in self.root.findall('asset'):
       for me in asset.findall('mesh'):
         a = self._attrs(me, me.attrib.get('class', 'main'))
@@ -453,6 +455,13 @@ class MJCFCompiler:
         scale = _floats(a['scale']) if 'scale' in a else None
         self._mesh_assets[name] = meshes.MeshAsset(name, path, scale)
         self._mesh_order.append(name)
+      for hf in asset.findall('hfield'):
+        a = dict(hf.attrib)
+        name = a['name']
+        self._hfields[name] = dict(
+            size=_floats(a['size']),
+            nrow=int(a['nrow']), ncol=int(a['ncol']))
+        self._hfield_order.append(name)
 
   # -- attribute resolution -------------------------------------------------
 
@@ -505,10 +514,14 @@ class MJCFCompiler:
   def _walk_body(self, elem: ET.Element, body_id: int, childclass: str):
     if 'childclass' in elem.attrib:
       childclass = elem.attrib['childclass']
+    # Two phases: a body's own elements first, THEN child bodies — the
+    # oracle numbers a body's joints/geoms with the body even when the
+    # XML places them after nested <body> elements (e.g. dog.xml's
+    # lumbar chain declares each body's joints last).
     for child in elem:
       tag = child.tag
       if tag == 'body':
-        self._add_body(child, body_id, childclass)
+        continue
       elif tag == 'joint':
         self._add_joint(child, body_id, childclass)
       elif tag == 'freejoint':
@@ -525,6 +538,9 @@ class MJCFCompiler:
         pass  # no physics effect
       else:
         pass
+    for child in elem:
+      if child.tag == 'body':
+        self._add_body(child, body_id, childclass)
 
   def _add_body(self, elem: ET.Element, parent_id: int, childclass: str):
     a = dict(elem.attrib)
@@ -580,6 +596,8 @@ class MJCFCompiler:
                      if 'actuatorfrcrange' in a else np.zeros(2)),
         stiffness=float(a.get('stiffness', '0')),
         damping=float(a.get('damping', '0')),
+        springdamper=(_floats(a['springdamper'])
+                      if 'springdamper' in a else None),
         armature=float(a.get('armature', '0')),
         frictionloss=float(a.get('frictionloss', '0')),
         ref=ref, springref=springref,
@@ -598,11 +616,16 @@ class MJCFCompiler:
     a = self._attrs(elem, cls)
     gtype = _GEOM_TYPES[a.get('type', 'sphere')]
     mesh_name = None
+    hfield_name = None
     if gtype == T.GeomType.MESH or 'mesh' in a:
       gtype = T.GeomType.MESH
       mesh_name = a['mesh']
       if mesh_name not in self._mesh_assets:
         raise ValueError(f'unknown mesh asset {mesh_name!r}')
+    if gtype == T.GeomType.HFIELD:
+      hfield_name = a['hfield']
+      if hfield_name not in self._hfields:
+        raise ValueError(f'unknown hfield asset {hfield_name!r}')
     size = np.zeros(3)
     sz = _floats(a['size']) if 'size' in a else np.zeros(0)
     size[:len(sz)] = sz[:3]
@@ -644,6 +667,7 @@ class MJCFCompiler:
         solimp=_padded(a, 'solimp', _SOLIMP_DEF),
         rgba=rgba,
         mesh=mesh_name,
+        hfield=hfield_name,
     ))
     self.b.bodies[body_id].geoms.append(len(self.b.geoms) - 1)
 
@@ -971,6 +995,8 @@ class MJCFCompiler:
         tolerance=float(a.get('tolerance', '1e-8')),
         ls_tolerance=float(a.get('ls_tolerance', '0.01')),
         impratio=float(a.get('impratio', '1')),
+        noslip_iterations=int(a.get('noslip_iterations', '0')),
+        noslip_tolerance=float(a.get('noslip_tolerance', '1e-6')),
         disableflags=disable,
     )
 
@@ -1066,6 +1092,10 @@ class MJCFCompiler:
     m.jnt_actfrcrange = (np.stack([j['actfrcrange'] for j in b.joints])
                          if njnt else np.zeros((0, 2)))
     m.jnt_stiffness = np.array([j['stiffness'] for j in b.joints], np.float64)
+    m.jnt_springdamper = np.stack(
+        [j.get('springdamper') if j.get('springdamper') is not None
+         else np.zeros(2) for j in b.joints]) if b.joints else np.zeros(
+             (0, 2))
     m.jnt_margin = np.array([j['margin'] for j in b.joints], np.float64)
     m.jnt_solref = (np.stack([j['solref'] for j in b.joints])
                     if njnt else np.zeros((0, 2)))
@@ -1158,11 +1188,26 @@ class MJCFCompiler:
     m.geom_solimp = (np.stack([g['solimp'] for g in b.geoms])
                      if ngeom else np.zeros((0, 5)))
     mesh_id = {n: i for i, n in enumerate(self._mesh_order)}
+    hf_id = {n: i for i, n in enumerate(self._hfield_order)}
     m.geom_dataid = np.array(
-        [mesh_id.get(g.get('mesh'), -1) for g in b.geoms], np.int32)
+        [mesh_id.get(g.get('mesh'),
+                     hf_id.get(g.get('hfield'), -1)) for g in b.geoms],
+        np.int32)
     m.mesh_vert = [self._mesh_assets[n].verts for n in self._mesh_order]
     m.mesh_face = [self._mesh_assets[n].faces for n in self._mesh_order]
     m.mesh_hull = [self._mesh_assets[n].hull for n in self._mesh_order]
+    m.nhfield = len(self._hfield_order)
+    m.hfield_size = (np.stack(
+        [self._hfields[n]['size'] for n in self._hfield_order])
+        if m.nhfield else np.zeros((0, 4)))
+    m.hfield_nrow = np.array(
+        [self._hfields[n]['nrow'] for n in self._hfield_order], np.int32)
+    m.hfield_ncol = np.array(
+        [self._hfields[n]['ncol'] for n in self._hfield_order], np.int32)
+    m.hfield_adr = (np.concatenate(
+        [[0], np.cumsum(m.hfield_nrow * m.hfield_ncol)[:-1]]).astype(
+            np.int32) if m.nhfield else np.zeros(0, np.int32))
+    m.hfield_data = np.zeros(int((m.hfield_nrow * m.hfield_ncol).sum()))
     m.geom_rbound = np.array(
         [self._mesh_assets[g['mesh']].rbound if g.get('mesh')
          else _geom_rbound(T.GeomType(g['type']), g['size'])

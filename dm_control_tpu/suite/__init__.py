@@ -10,8 +10,8 @@ from typing import Optional
 from dm_control_tpu.rl import control
 
 _DOMAINS = [
-    'acrobot', 'ball_in_cup', 'cartpole', 'cheetah', 'finger', 'fish',
-    'hopper', 'humanoid', 'humanoid_CMU', 'lqr', 'manipulator',
+    'acrobot', 'ball_in_cup', 'cartpole', 'cheetah', 'dog', 'finger',
+    'fish', 'hopper', 'humanoid', 'humanoid_CMU', 'lqr', 'manipulator',
     'pendulum', 'point_mass', 'quadruped', 'reacher', 'stacker',
     'swimmer', 'walker',
 ]
