@@ -41,6 +41,7 @@ _PAIR_NCON = {
     (GeomType.SPHERE, GeomType.ELLIPSOID): 1,
     (GeomType.SPHERE, GeomType.BOX): 1,
     (GeomType.SPHERE, GeomType.MESH): 1,
+    (GeomType.PLANE, GeomType.MESH): 3,
     (GeomType.CAPSULE, GeomType.CAPSULE): 2,
     (GeomType.CAPSULE, GeomType.CYLINDER): 2,
     (GeomType.CAPSULE, GeomType.ELLIPSOID): 1,

@@ -45,6 +45,11 @@ class TaskDef:
   get_observation: Callable[[Model, Data], 'collections.OrderedDict']
   get_reward: Callable[[Model, Data], jax.Array]
   get_termination: Optional[Callable[[Model, Data], jax.Array]] = None
+  # optional action transform (reference Task.before_step): maps the
+  # agent action to Data (typically writing ctrl + auxiliary state)
+  before_step: Optional[Callable[[Model, Data, jax.Array], Data]] = None
+  # optional action-spec override (e.g. jaco's relative 7-dof actions)
+  action_spec_fn: Optional[Callable[[], Any]] = None
   control_timestep: Optional[float] = None  # default: physics timestep
   # True when init_episode is expensive (e.g. cheetah's 200-step settle):
   # batched runners then auto-reset from a precomputed state pool instead
@@ -79,11 +84,14 @@ def _task_jits(task: TaskDef):
     return task.init_episode(m, d, key)
 
   reset_fn = jax.jit(_reset)
+  before_fn = (jax.jit(lambda d, a: task.before_step(m, d, a))
+               if task.before_step is not None else None)
   observe_fn = jax.jit(lambda d: task.get_observation(m, d))
   reward_fn = jax.jit(lambda d: task.get_reward(m, d))
   term_fn = (jax.jit(lambda d: task.get_termination(m, d))
              if task.get_termination is not None else None)
-  cache = (step_fn, forward_fn, reset_fn, observe_fn, reward_fn, term_fn)
+  cache = (step_fn, forward_fn, reset_fn, observe_fn, reward_fn, term_fn,
+           before_fn)
   task._jits = cache
   return cache
 
@@ -112,7 +120,7 @@ class Environment(dm_env.Environment):
 
     jits = _task_jits(task)
     (self._step_fn, self._forward_fn, self._reset_fn, self._observe_fn,
-     self._reward_fn, self._term_fn) = jits
+     self._reward_fn, self._term_fn, self._before_fn) = jits
     self._data: Optional[Data] = None
 
   # -- dm_env interface ----------------------------------------------------
@@ -130,8 +138,12 @@ class Environment(dm_env.Environment):
   def step(self, action) -> dm_env.TimeStep:
     if self._data is None:
       return self.reset()
-    d = self._data.replace(
-        ctrl=jnp.asarray(action, self._data.ctrl.dtype))
+    if self._before_fn is not None:
+      d = self._before_fn(self._data,
+                          jnp.asarray(action, self._data.qpos.dtype))
+    else:
+      d = self._data.replace(
+          ctrl=jnp.asarray(action, self._data.ctrl.dtype))
     for _ in range(self._n_sub_steps):
       d = self._step_fn(d)
     self._data = d
@@ -157,6 +169,8 @@ class Environment(dm_env.Environment):
     return dm_env.TimeStep(dm_env.StepType.MID, reward, 1.0, obs)
 
   def action_spec(self):
+    if self._task.action_spec_fn is not None:
+      return self._task.action_spec_fn()
     return action_spec(self._model)
 
   def observation_spec(self):

@@ -11,7 +11,7 @@ from dm_control_tpu.rl import control
 
 _DOMAINS = [
     'acrobot', 'ball_in_cup', 'cartpole', 'cheetah', 'dog', 'finger',
-    'fish', 'hopper', 'humanoid', 'humanoid_CMU', 'lqr', 'manipulator',
+    'fish', 'hopper', 'humanoid', 'humanoid_CMU', 'jaco', 'lqr', 'manipulator',
     'pendulum', 'point_mass', 'quadruped', 'reacher', 'stacker',
     'swimmer', 'walker',
 ]
