@@ -1,12 +1,19 @@
-"""Throughput benchmark: batched env-steps/s on the available accelerator.
+"""Throughput benchmark: the BASELINE.md benchmark configs on the
+available accelerator.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-Headline configuration (BASELINE.json): cartpole-swingup + cheetah-run,
-vmapped random-policy rollouts, float32, batch 4096 each; value is the
-aggregate env-steps/s (sum over the two tasks), vs_baseline is the ratio
-against the 1M env-steps/s one-host target.
+`value` is the BASELINE.json north-star: aggregate env-steps/s over the
+16-task Control Suite set on one host.  `detail` carries the individual
+configs:
+  #2 pendulum+cartpole+reacher @1024
+  #3 cheetah-run + walker-walk @4096
+  #4 humanoid-run + quadruped-walk @8192
+  agg16: per-task steps/s at batch 4096 (sum = value)
+
+Env overrides: BENCH_STEPS (default 200), BENCH_FAST=1 (agg16 only,
+batch 1024, 100 steps — for smoke runs).
 """
 
 import json
@@ -16,6 +23,16 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+# the 16-task aggregate set (benchmarking-tagged Control Suite tasks)
+AGG16 = [
+    ('pendulum', 'swingup'), ('cartpole', 'swingup'),
+    ('cartpole', 'balance'), ('acrobot', 'swingup'),
+    ('reacher', 'easy'), ('reacher', 'hard'), ('point_mass', 'easy'),
+    ('ball_in_cup', 'catch'), ('hopper', 'hop'), ('cheetah', 'run'),
+    ('walker', 'walk'), ('walker', 'run'), ('finger', 'spin'),
+    ('fish', 'swim'), ('swimmer', 'swimmer6'), ('humanoid', 'run'),
+]
 
 
 def bench_task(domain, task_name, batch, n_steps, key):
@@ -33,29 +50,49 @@ def bench_task(domain, task_name, batch, n_steps, key):
   state, rewards = run(state, jax.random.fold_in(key, 2))
   jax.block_until_ready(rewards)
   dt = time.perf_counter() - t0
-  steps_per_sec = batch * n_steps / dt
-  return steps_per_sec
+  return batch * n_steps / dt
 
 
 def main():
-  batch = int(os.environ.get('BENCH_BATCH', '4096'))
   n_steps = int(os.environ.get('BENCH_STEPS', '200'))
+  fast = os.environ.get('BENCH_FAST') == '1'
+  agg_batch = 1024 if fast else 4096
   key = jax.random.PRNGKey(0)
-  tasks = [('cartpole', 'swingup'), ('cheetah', 'run')]
-  total = 0.0
   detail = {}
-  for i, (d, t) in enumerate(tasks):
-    sps = bench_task(d, t, batch, n_steps, jax.random.fold_in(key, i))
-    detail[f'{d}-{t}'] = round(sps)
+
+  total = 0.0
+  for i, (d, t) in enumerate(AGG16):
+    sps = bench_task(d, t, agg_batch, n_steps, jax.random.fold_in(key, i))
+    detail[f'{d}-{t}@{agg_batch}'] = round(sps)
     total += sps
+
+  if not fast:
+    # config #2: pendulum + cartpole + reacher @ 1024
+    c2 = 0.0
+    for j, (d, t) in enumerate([('pendulum', 'swingup'),
+                                ('cartpole', 'swingup'),
+                                ('reacher', 'easy')]):
+      c2 += bench_task(d, t, 1024, n_steps, jax.random.fold_in(key, 100 + j))
+    detail['config2_smooth@1024'] = round(c2)
+    # config #3: cheetah + walker @ 4096 (from agg16 numbers)
+    detail['config3_contact@4096'] = round(
+        detail['cheetah-run@4096'] + detail['walker-walk@4096'])
+    # config #4: humanoid-run + quadruped-walk @ 8192
+    c4 = 0.0
+    for j, (d, t) in enumerate([('humanoid', 'run'), ('quadruped', 'walk')]):
+      c4 += bench_task(d, t, 8192, max(n_steps // 2, 50),
+                       jax.random.fold_in(key, 200 + j))
+    detail['config4_large@8192'] = round(c4)
+
   target = 1_000_000.0
   print(json.dumps({
-      'metric': 'env_steps_per_sec_aggregate',
+      'metric': 'env_steps_per_sec_16task_aggregate',
       'value': round(total),
       'unit': 'env-steps/s',
       'vs_baseline': round(total / target, 4),
       'detail': detail,
-      'batch': batch,
+      'batch': agg_batch,
+      'n_tasks': len(AGG16),
       'device': str(jax.devices()[0]),
   }))
 
