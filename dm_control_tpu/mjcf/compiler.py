@@ -168,11 +168,13 @@ def _parse_orientation(attrib: Dict[str, str], degrees: bool,
 
 
 def _sanitize_xml(text: str) -> str:
-  """Strip malformed pseudo-comments `<! ... -->` (not `<!--`): the
-  reference's native XML parser tolerates them (e.g. suite
-  jaco_*.xml line 2), Python's does not."""
+  """Fix malformations the reference's native XML parser tolerates but
+  Python's does not: pseudo-comments `<! ... -->` (suite jaco_*.xml
+  line 2) and missing whitespace between attributes
+  (`..."type="mesh"` in jaco_j2s6s300)."""
   import re
-  return re.sub(r'<!(?!--|\[)(.*?)-->', '', text, flags=re.S)
+  text = re.sub(r'<!(?!--|\[)(.*?)-->', '', text, flags=re.S)
+  return re.sub(r'"([A-Za-z_][\w:-]*=")', r'" \1', text)
 
 
 def _parse_xml_file(path: str) -> ET.Element:

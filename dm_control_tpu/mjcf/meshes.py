@@ -16,6 +16,19 @@ import struct
 import numpy as np
 
 
+def load_mesh(path: str) -> tuple[np.ndarray, np.ndarray]:
+  """Load a mesh by path, preferring the framework's own .npz
+  (verts/faces) format over STL when both resolve."""
+  base = os.path.splitext(path)[0]
+  if os.path.isfile(base + '.npz'):
+    z = np.load(base + '.npz')
+    return z['verts'].astype(np.float64), z['faces'].astype(np.int32)
+  if path.lower().endswith('.npz'):
+    z = np.load(path)
+    return z['verts'].astype(np.float64), z['faces'].astype(np.int32)
+  return load_stl(path)
+
+
 def load_stl(path: str) -> tuple[np.ndarray, np.ndarray]:
   """Load an STL file -> (verts (n,3) f8, faces (m,3) i4), deduplicated."""
   with open(path, 'rb') as f:
@@ -112,7 +125,7 @@ class MeshAsset:
   """One compiled mesh asset."""
 
   def __init__(self, name: str, path: str, scale=None):
-    verts, faces = load_stl(path)
+    verts, faces = load_mesh(path)
     if scale is not None:
       verts = verts * np.asarray(scale)
       if np.prod(np.sign(scale)) < 0:  # odd reflection flips winding

@@ -1,11 +1,12 @@
 """Model XML resolution for the Control Suite domains.
 
-The MJCF model definitions are data assets.  They are resolved at build
-time from, in order: an explicit override directory
-($DM_CONTROL_TPU_SUITE_DIR), the reference checkout when present, or the
-installed `dm_control` package's suite directory (a normal pip
-dependency).  Procedural domains (cartpole k-poles, swimmer n-links)
-generate their XML in code and need no files.
+The MJCF model definitions ship WITH the framework
+(dm_control_tpu/suite/assets/, regenerable by tools/vendor_assets.py:
+canonically re-serialized XML + meshes re-encoded to the framework's
+compressed .npz vertex/face format).  An explicit override directory
+($DM_CONTROL_TPU_SUITE_DIR) takes precedence.  Procedural domains
+(cartpole k-poles, swimmer n-links) generate their XML in code and need
+no files.
 """
 
 from __future__ import annotations
@@ -14,9 +15,11 @@ import functools
 import os
 import xml.etree.ElementTree as ET
 
+_ASSETS_DIR = os.path.join(os.path.dirname(__file__), 'assets')
+
 _CANDIDATE_DIRS = [
     os.environ.get('DM_CONTROL_TPU_SUITE_DIR'),
-    '/root/reference/dm_control/suite',
+    _ASSETS_DIR,
 ]
 
 
@@ -25,12 +28,8 @@ def suite_dir() -> str:
   for d in _CANDIDATE_DIRS:
     if d and os.path.isdir(d):
       return d
-  try:
-    import dm_control.suite as _ref_suite
-    return os.path.dirname(_ref_suite.__file__)
-  except ImportError:
-    raise FileNotFoundError(
-        'No suite model directory found; set DM_CONTROL_TPU_SUITE_DIR')
+  raise FileNotFoundError(
+      'No suite model directory found; set DM_CONTROL_TPU_SUITE_DIR')
 
 
 def model_path(name: str) -> str:
