@@ -135,3 +135,73 @@ class Environment(dm_env.Environment):
   @property
   def task(self):
     return self._task
+
+
+class BatchedEnvironment:
+  """Vmapped composer loop: B independent lanes of (physics state +
+  observation buffers), auto-reset in-graph on termination/divergence.
+
+  The suite path has parallel.runner.BatchedEnv; this is its composer
+  analog with the buffered observable pipeline carried per lane (the
+  reference composer has no batched path at all — every env is a
+  separate Python object, composer/environment.py:271)."""
+
+  def __init__(self, task: ComposerTask, batch_size: int,
+               time_limit: float = float('inf')):
+    self._task = task
+    m = task.compile()
+    self._model = m
+    self._batch = batch_size
+    dt = m.opt.timestep
+    ct = task.control_timestep or dt
+    n_sub = max(1, int(round(ct / dt)))
+    step_limit = (np.inf if time_limit == float('inf')
+                  else int(round(time_limit / (dt * n_sub))))
+
+    example = _forward.forward(m, _forward.make_data(m))
+    pipeline = ObservationPipeline(m, task.observables, example)
+    step_fn = _engine.build_step(m)
+
+    def reset_one(key):
+      d = _forward.make_data(m)
+      d = task.init_episode(m, d, key)
+      d = _forward.forward(m, d)
+      obs_state = pipeline.init_state()
+      substep = jnp.zeros((), jnp.int32)
+      obs_state = pipeline.update(obs_state, d, substep, key)
+      return d, obs_state, jnp.ones((), jnp.int32), key
+
+    def step_one(carry, action):
+      d, obs_state, substep, key = carry
+      d = d.replace(ctrl=action)
+      for _ in range(n_sub):
+        d = step_fn(d)
+        key, sub = jax.random.split(key)
+        obs_state = pipeline.update(obs_state, d, substep, sub)
+        substep = substep + 1
+      reward = task.get_reward(m, d)
+      term = task.get_termination(m, d)
+      done = d.diverged if term is None else jnp.logical_or(
+          term, d.diverged)
+      if np.isfinite(step_limit):
+        done = jnp.logical_or(done, substep >= step_limit * n_sub)
+      # in-graph auto-reset of finished lanes
+      key, rk = jax.random.split(key)
+      fresh = reset_one(rk)
+      carry = jax.tree_util.tree_map(
+          lambda old, new: jnp.where(
+              jnp.reshape(done, (1,) * old.ndim if old.ndim else ()),
+              new, old),
+          (d, obs_state, substep, key), fresh)
+      obs = pipeline.read(carry[1], carry[2])
+      return carry, (obs, reward, done)
+
+    self._reset = jax.jit(jax.vmap(reset_one))
+    self._step = jax.jit(jax.vmap(step_one))
+
+  def reset(self, key):
+    return self._reset(jax.random.split(key, self._batch))
+
+  def step(self, carry, actions):
+    """carry, actions (B, nu) -> (carry, (obs dict, reward, done))."""
+    return self._step(carry, actions)
