@@ -1,0 +1,6 @@
+"""Locomotion tier: walkers, procedural arenas, tasks
+(reference: dm_control/locomotion/)."""
+
+from dm_control_tpu.locomotion import arenas  # noqa: F401
+from dm_control_tpu.locomotion import tasks  # noqa: F401
+from dm_control_tpu.locomotion import walkers  # noqa: F401

@@ -1,0 +1,113 @@
+"""Locomotion tasks (reference: locomotion/tasks/go_to_target.py,
+corridors.py).
+
+Both build ComposerTasks over a walker entity + procedural arena; both
+run single-env (composer.Environment) and batched
+(composer.BatchedEnvironment)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dm_control_tpu.composer import variation as var
+from dm_control_tpu.composer.environment import (BatchedEnvironment,
+                                                 Environment)
+from dm_control_tpu.composer.observation import ObservableSpec
+from dm_control_tpu.composer.task import ComposerTask
+from dm_control_tpu.locomotion import arenas
+from dm_control_tpu.locomotion import walkers
+from dm_control_tpu.utils import rewards
+
+
+def _add_target_geom(arena):
+  """Add a visual target site geom to an arena entity."""
+  import xml.etree.ElementTree as ET
+  wb = arena.mjcf_root.find('worldbody')
+  ET.SubElement(wb, 'geom', dict(
+      name='target', type='sphere', size='0.2', pos='0 0 0.2',
+      contype='0', conaffinity='0', rgba='1 0 0 .5'))
+  return arena
+
+
+def go_to_target(batch_size=None, time_limit=25.0, random=None):
+  arena = _add_target_geom(arenas.floor(size=(8.0, 8.0)))
+  # rebuild with the target in place
+  walker = walkers.Ant()
+  task = ComposerTask(arena=arena, control_timestep=0.025)
+  task.attach(walker)
+  m = task.compile()
+  obs, torso = walker.observables_for(m, 'walker')
+  for name, spec in obs.items():
+    task.add_observable(f'walker/{name}', spec)
+  target_g = m.name2id('geom', 'target')
+  root_q = int(m.jnt_qposadr[m.name2id('joint', 'walker/root')])
+
+  def target_pos(m_, d):
+    return (d.model_var or {}).get(
+        'geom_pos', jnp.asarray(m_.geom_pos, d.qpos.dtype))[target_g]
+
+  task.add_observable('target', ObservableSpec(
+      fn=lambda m_, d: target_pos(m_, d) - d.xpos[torso]))
+
+  def init_episode(m_, d, key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    dtype = d.qpos.dtype
+    txy = jax.random.uniform(k1, (2,), dtype, -6.0, 6.0)
+    geom_pos = jnp.asarray(m_.geom_pos, dtype).at[target_g, :2].set(txy)
+    wxy = jax.random.uniform(k2, (2,), dtype, -6.0, 6.0)
+    yaw = jax.random.uniform(k3, (), dtype, 0, 2 * np.pi)
+    quat = jnp.stack([jnp.cos(yaw / 2), jnp.zeros_like(yaw),
+                      jnp.zeros_like(yaw), jnp.sin(yaw / 2)])
+    qpos = d.qpos.at[root_q:root_q + 2].set(wxy)
+    qpos = jax.lax.dynamic_update_slice(qpos, quat, (root_q + 3,))
+    mv = dict(d.model_var or {})
+    mv['geom_pos'] = geom_pos
+    return d.replace(qpos=qpos, model_var=mv)
+
+  task.add_init_hook(init_episode)
+  task.set_reward(lambda m_, d: (jnp.linalg.norm(
+      target_pos(m_, d)[:2] - d.xpos[torso, :2]) < 1.0).astype(
+          d.qpos.dtype))
+  task.set_termination(lambda m_, d: d.xpos[torso, 2] < 0.2)
+  if batch_size:
+    return BatchedEnvironment(task, batch_size, time_limit=time_limit)
+  return Environment(task, time_limit=time_limit, random=random)
+
+
+def run_through_corridor(corridor='empty', target_velocity=3.0,
+                         batch_size=None, time_limit=30.0, random=None):
+  """RunThroughCorridor (reference tasks/corridors.py): reward is the
+  linear tolerance on the walker's forward velocity."""
+  maker = dict(empty=arenas.empty_corridor, gaps=arenas.gaps_corridor,
+               walls=arenas.walls_corridor)[corridor]
+  arena = maker()
+  walker = walkers.Ant()
+  task = ComposerTask(arena=arena, control_timestep=0.025)
+  task.attach(walker)
+  m = task.compile()
+  obs, torso = walker.observables_for(m, 'walker')
+  for name, spec in obs.items():
+    task.add_observable(f'walker/{name}', spec)
+  root_q = int(m.jnt_qposadr[m.name2id('joint', 'walker/root')])
+  root_d = int(m.jnt_dofadr[m.name2id('joint', 'walker/root')])
+
+  def init_episode(m_, d, key):
+    qpos = d.qpos.at[root_q:root_q + 2].set(
+        jnp.asarray([1.0, 0.0], d.qpos.dtype))
+    return d.replace(qpos=qpos)
+
+  task.add_init_hook(init_episode)
+
+  def get_reward(m_, d):
+    xvel = d.qvel[root_d]
+    return rewards.tolerance(
+        xvel, (target_velocity, target_velocity), margin=target_velocity,
+        sigmoid='linear', value_at_margin=0.0)
+
+  task.set_reward(get_reward)
+  task.set_termination(lambda m_, d: d.xpos[torso, 2] < 0.2)
+  if batch_size:
+    return BatchedEnvironment(task, batch_size, time_limit=time_limit)
+  return Environment(task, time_limit=time_limit, random=random)
