@@ -22,6 +22,12 @@ import sys
 import time
 
 import jax
+
+# persistent compile cache: the remote TPU compile helper costs 1-3 min per
+# program; caching makes reruns (and the driver's round-end run) fast
+os.makedirs('/root/.cache/jax_bench', exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_bench')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 import jax.numpy as jnp
 
 # the 16-task aggregate set (benchmarking-tagged Control Suite tasks)
@@ -62,9 +68,20 @@ def main():
 
   total = 0.0
   for i, (d, t) in enumerate(AGG16):
-    sps = bench_task(d, t, agg_batch, n_steps, jax.random.fold_in(key, i))
+    t0 = time.time()
+    for attempt in range(2):
+      try:
+        sps = bench_task(d, t, agg_batch, n_steps,
+                         jax.random.fold_in(key, i))
+        break
+      except Exception as e:  # transient tunnel hiccups: retry once
+        if attempt:
+          raise
+        print(f'# retry {d}-{t}: {type(e).__name__}', file=sys.stderr)
     detail[f'{d}-{t}@{agg_batch}'] = round(sps)
     total += sps
+    print(f'# {d}-{t}@{agg_batch}: {sps:,.0f} steps/s '
+          f'({time.time() - t0:.0f}s incl compile)', file=sys.stderr)
 
   if not fast:
     # config #2: pendulum + cartpole + reacher @ 1024

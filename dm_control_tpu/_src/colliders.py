@@ -369,25 +369,193 @@ def _capsule_box(c_pos, c_mat, c_size, b_pos, b_mat, b_size):
   return dists, poss, ns
 
 
-def _box_box(pos1, mat1, size1, pos2, mat2, size2):
-  """Box-box via corner-vs-box tests (8 corners of box1 against box2).
+def _clip_polygon(pts, valid, n, c):
+  """Sutherland-Hodgman half-space clip of a padded polygon.
 
-  Covers the face-dominant contacts that matter for resting/stacking;
-  edge-edge configurations are approximated by the nearest corners."""
-  outs = []
-  zero_r = jnp.zeros_like(size1)
-  for sx in (-1.0, 1.0):
-    for sy in (-1.0, 1.0):
-      for sz in (-1.0, 1.0):
-        corner_l = jnp.stack(
-            [sx * size1[..., 0], sy * size1[..., 1], sz * size1[..., 2]],
-            -1)
-        corner = pos1 + jnp.einsum('...ij,...j->...i', mat1, corner_l)
-        d, p, n = _sphere_box(corner, mat1, zero_r, pos2, mat2, size2)
-        outs.append((d, p, n))
-  return (jnp.concatenate([o[0] for o in outs], -1),
-          jnp.concatenate([o[1] for o in outs], -2),
-          jnp.concatenate([o[2] for o in outs], -2))
+  pts (K,2), valid (K,) -> clipped polygon against n.x <= c, padded to
+  the same K (callers size K to the worst case)."""
+  K = pts.shape[0]
+  nv = jnp.sum(valid)
+  idx = jnp.arange(K)
+  nxt = jnp.where(idx + 1 >= nv, 0, idx + 1)
+  p0 = pts
+  p1 = pts[nxt]
+  d0 = p0 @ n - c
+  d1 = p1 @ n - c
+  in0 = d0 <= 0
+  in1 = d1 <= 0
+  denom = jnp.where(jnp.abs(d0 - d1) < 1e-12, 1e-12, d0 - d1)
+  s = d0 / denom
+  inter = p0 + s[:, None] * (p1 - p0)
+  edge_active = valid & (idx < nv)
+  # per edge: emit p0 if inside; emit intersection if crossing
+  out_pts = jnp.concatenate([p0, inter], axis=0)          # (2K, 2)
+  out_ok = jnp.concatenate(
+      [edge_active & in0, edge_active & (in0 ^ in1)], axis=0)
+  # compact, preserving edge order: stable sort by (slot order, validity)
+  order = jnp.argsort(
+      jnp.where(out_ok, jnp.concatenate([2 * idx, 2 * idx + 1]), 10 * K))
+  out_pts = out_pts[order][:K]
+  out_ok = out_ok[order][:K]
+  return out_pts, out_ok
+
+
+def _box_box_one(p1, R1, a, p2, R2, b):
+  """SAT box-box with face-clipping manifold (up to 8 points).
+
+  Mirrors the reference's native box collider structure (SAT over
+  6 face + 9 edge axes, incident-face clipping against the reference
+  face); all candidate manifolds are computed and selected branch-free."""
+  dtype = p1.dtype
+  eps = 1e-10
+  R = R1.T @ R2                    # columns: B axes in A frame
+  t = R1.T @ (p2 - p1)
+  absR = jnp.abs(R) + eps
+  tB = R.T @ t
+
+  sep_A = jnp.abs(t) - a - absR @ b            # (3,)
+  sep_B = jnp.abs(tB) - b - absR.T @ a         # (3,)
+
+  # edge axes L = A_i x B_j (in A frame)
+  seps_E = []
+  for i in range(3):
+    for j in range(3):
+      i1, i2 = (i + 1) % 3, (i + 2) % 3
+      L = jnp.zeros(3, dtype).at[i1].set(-R[i2, j]).at[i2].set(R[i1, j])
+      norm = jnp.sqrt(jnp.maximum(L @ L, eps))
+      Ln = L / norm
+      ra = a[i1] * jnp.abs(Ln[i1]) + a[i2] * jnp.abs(Ln[i2])
+      rb = jnp.abs(Ln @ R[:, (j + 1) % 3]) * b[(j + 1) % 3] + \
+          jnp.abs(Ln @ R[:, (j + 2) % 3]) * b[(j + 2) % 3]
+      valid_axis = norm > 1e-5
+      seps_E.append(jnp.where(valid_axis, jnp.abs(t @ Ln) - ra - rb,
+                              -jnp.inf))
+  sep_E = jnp.stack(seps_E)
+
+  # prefer faces (edge separations get a small bias like the reference)
+  best_face_A = jnp.argmax(sep_A)
+  best_face_B = jnp.argmax(sep_B)
+  best_edge = jnp.argmax(sep_E)
+  sA = sep_A[best_face_A]
+  sB = sep_B[best_face_B]
+  sE = sep_E[best_edge] - 1e-4
+
+  def face_manifold(ref_is_a):
+    # roles: reference box (r_half, identity frame), incident box whose
+    # center sits at c_inc in the reference frame
+    if ref_is_a:
+      axis_i = best_face_A
+      r_half, i_half = a, b
+      Rri = R          # incident axes in ref frame
+      c_inc = t
+    else:
+      axis_i = best_face_B
+      r_half, i_half = b, a
+      Rri = R.T
+      c_inc = -tB
+    sign = jnp.sign(c_inc[axis_i] + eps)
+    normal_r = jnp.zeros(3, dtype).at[axis_i].set(sign)
+    # incident face: the face of the incident box most anti-parallel
+    inc_axis = jnp.argmax(jnp.abs(normal_r @ Rri))
+    inc_sign = -jnp.sign(normal_r @ Rri[:, inc_axis] + eps)
+    inc_center = c_inc + inc_sign * i_half[inc_axis] * Rri[:, inc_axis]
+    e1_axis = (inc_axis + 1) % 3
+    e2_axis = (inc_axis + 2) % 3
+    e1 = Rri[:, e1_axis] * i_half[e1_axis]
+    e2 = Rri[:, e2_axis] * i_half[e2_axis]
+    corners = jnp.stack([inc_center + sx * e1 + sy * e2
+                         for sx in (1.0, -1.0) for sy in (-1.0, 1.0)])
+    corners = corners[jnp.array([0, 1, 3, 2])]  # ring order
+    # 2-D clip in the reference-face plane (axes u, v = other two)
+    u_axis = (axis_i + 1) % 3
+    v_axis = (axis_i + 2) % 3
+    onehot_u = jax.nn.one_hot(u_axis, 3, dtype=dtype)
+    onehot_v = jax.nn.one_hot(v_axis, 3, dtype=dtype)
+    pts2 = jnp.stack([corners @ onehot_u, corners @ onehot_v], axis=1)
+    depth_corner = corners @ normal_r  # along normal
+    K = 8
+    pts = jnp.zeros((K, 2), dtype).at[:4].set(pts2)
+    valid = jnp.arange(K) < 4
+    hu = r_half @ onehot_u
+    hv = r_half @ onehot_v
+    for n2, c in ((jnp.array([1.0, 0.0], dtype), hu),
+                  (jnp.array([-1.0, 0.0], dtype), hu),
+                  (jnp.array([0.0, 1.0], dtype), hv),
+                  (jnp.array([0.0, -1.0], dtype), hv)):
+      pts, valid = _clip_polygon(pts, valid, n2, c)
+    # depth at clipped points: interpolate the plane of the incident face
+    # n_inc . x = n_inc . inc_center in 3-D; reconstruct the normal-axis
+    # coordinate from (u, v) via the incident-face plane equation
+    n_inc = Rri[:, inc_axis]
+    denom = jnp.where(jnp.abs(n_inc[axis_i]) < 1e-8, 1e-8,
+                      n_inc[axis_i])
+    w = (n_inc @ inc_center
+         - pts[:, 0] * n_inc[u_axis] - pts[:, 1] * n_inc[v_axis]) / denom
+    # penetration below the reference face (positive = inside)
+    depth = r_half[axis_i] - sign * w
+    dist = -depth
+    # contact points in the reference frame (midway into the overlap)
+    pr = (pts[:, 0:1] * onehot_u + pts[:, 1:2] * onehot_v
+          + (sign * (r_half[axis_i] - depth / 2))[:, None] * jnp.abs(
+              normal_r))
+    dist = jnp.where(valid, dist, 1e10)
+    # to world; contact normal points from geom1 (A) to geom2 (B)
+    if ref_is_a:
+      pw = p1 + pr @ R1.T
+      nw = R1 @ normal_r           # ref face of A points toward B
+    else:
+      pw = p2 + pr @ R2.T
+      nw = -(R2 @ normal_r)        # ref face of B points toward A
+    return dist, pw, jnp.broadcast_to(nw, (8, 3))
+
+  dA, pA, nA = face_manifold(True)
+  dB, pB, nB = face_manifold(False)
+
+  # edge-edge contact (single point)
+  ei = best_edge // 3
+  ej = best_edge % 3
+  axesA = jnp.eye(3, dtype=dtype)
+  Ai = axesA[ei]
+  Bj = R[:, ej]
+  L = jnp.cross(Ai, Bj)
+  Ln = L / jnp.sqrt(jnp.maximum(L @ L, eps))
+  Ln = Ln * jnp.sign(Ln @ t + eps)
+  # support edge on A: corner most along +Ln, excluding axis ei
+  pa = (jnp.sign(Ln) * a).at[ei].set(0.0)
+  LnB = Ln @ R                       # Ln in B axes
+  pb_local = (-jnp.sign(LnB) * b).at[ej].set(0.0)
+  pb = t + R @ pb_local
+  # closest points between the two edge lines (clamped to edge extent)
+  r12 = pb - pa
+  d1 = Ai
+  d2 = Bj
+  d1d2 = d1 @ d2
+  denom = jnp.maximum(1.0 - d1d2 ** 2, eps)
+  s_par = (r12 @ d1 - (r12 @ d2) * d1d2) / denom
+  u_par = ((r12 @ d1) * d1d2 - r12 @ d2) / denom
+  cA = pa + jnp.clip(s_par, -a[ei], a[ei]) * d1
+  cB = pb + jnp.clip(u_par, -b[ej], b[ej]) * d2
+  edge_dist = sE + 1e-4
+  edge_pos = p1 + R1 @ ((cA + cB) / 2)
+  edge_n = R1 @ Ln
+  dE = jnp.full((8,), 1e10, dtype).at[0].set(edge_dist)
+  pE = jnp.broadcast_to(edge_pos, (8, 3))
+  nE = jnp.broadcast_to(edge_n, (8, 3))
+
+  use_B = sB > sA
+  use_E = (sE > jnp.maximum(sA, sB))
+  d_face = jnp.where(use_B, dB, dA)
+  p_face = jnp.where(use_B, pB, pA)
+  n_face = jnp.where(use_B, nB, nA)
+  dist = jnp.where(use_E, dE, d_face)
+  pos = jnp.where(use_E, pE, p_face)
+  nrm = jnp.where(use_E, nE, n_face)
+  return dist, pos, nrm
+
+
+def _box_box(pos1, mat1, size1, pos2, mat2, size2):
+  """Box-box: SAT + incident-face clipping manifold (vmapped per pair)."""
+  return jax.vmap(_box_box_one)(pos1, mat1, size1, pos2, mat2, size2)
 
 
 def _dir_radius(e_mat, e_size, n):

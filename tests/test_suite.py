@@ -19,9 +19,6 @@ def _uniform_policy(spec, rng):
 
 @pytest.mark.parametrize('domain,task', TASKS)
 def test_task_runs_and_conforms_to_spec(domain, task):
-  if domain == 'humanoid_CMU':
-    pytest.skip('62-DoF float64 XLA:CPU compile takes ~45 min; '
-                'exercised by the TPU bench path instead')
   env = suite.load(domain, task, task_kwargs={'random': 7})
   action_spec = env.action_spec()
   obs_spec = env.observation_spec()
@@ -38,3 +35,38 @@ def test_task_runs_and_conforms_to_spec(domain, task):
       assert tuple(obs_spec[k].shape) == np.shape(v), (
           f'{domain}/{task} obs {k} shape')
       assert np.all(np.isfinite(v))
+
+
+@pytest.mark.parametrize('domain,task', [
+    ('pendulum', 'swingup'), ('cartpole', 'swingup'), ('cheetah', 'run'),
+    ('walker', 'walk'), ('finger', 'spin'), ('fish', 'swim'),
+    ('quadruped', 'escape'), ('dog', 'stand'),
+    ('jaco', 'configurable_reacher'), ('swimmer', 'swimmer6'),
+])
+def test_obs_invariants(domain, task):
+  """Reference suite_test.py:206-287 invariants: randomized initial
+  state, non-constant observations, and no aliasing between steps."""
+  env = suite.load(domain, task, task_kwargs={'random': 3})
+  spec = env.action_spec()
+  rng = np.random.RandomState(0)
+  policy = _uniform_policy(spec, rng)
+
+  def flat(ts):
+    return np.concatenate([np.ravel(np.asarray(v, np.float64))
+                           for v in ts.observation.values()])
+
+  first = flat(env.reset())
+  prev = first.copy()
+  changed = False
+  for _ in range(8):
+    ts = env.step(policy())
+    cur = flat(ts)
+    # no aliasing: mutating our copy of the previous obs must not have
+    # changed the new one (arrays are fresh numpy per step)
+    if not np.array_equal(cur, prev):
+      changed = True
+    prev = cur
+  assert changed, f'{domain}/{task}: observations constant over episode'
+  second = flat(env.reset())
+  assert not np.array_equal(first, second), (
+      f'{domain}/{task}: initial state not randomized')

@@ -18,6 +18,8 @@ def _uniform_policy(spec, rng):
     ('pendulum', 'swingup'), ('cartpole', 'swingup'),
     ('cheetah', 'run'), ('walker', 'walk'), ('hopper', 'hop'),
     ('finger', 'spin'), ('reacher', 'easy'), ('humanoid', 'stand'),
+    ('quadruped', 'escape'), ('dog', 'walk'),
+    ('jaco', 'relative_position_reacher_7DOF'),
 ])
 def test_environment_is_deterministic(domain, task):
   """Same seed -> identical trajectories (reference suite_test.py:176)."""

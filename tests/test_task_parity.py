@@ -84,7 +84,7 @@ CASES = [
 
     ('reacher', 'easy', N_STEPS, SMOOTH, 1e-6),
     ('reacher', 'hard', N_STEPS, SMOOTH, 1e-6),
-    ('stacker', 'stack_2', 25, CHAOTIC, CHAOTIC),
+    ('stacker', 'stack_2', 40, CHAOTIC, CHAOTIC),
     ('stacker', 'stack_4', 10, CHAOTIC, CHAOTIC),
     ('swimmer', 'swimmer6', N_STEPS, 1e-6, 1e-5),
     ('swimmer', 'swimmer15', N_STEPS, 1e-6, 1e-5),
