@@ -36,14 +36,19 @@ class Element:
     return self._el.tag
 
   def add(self, tag: str, **attrs) -> 'Element':
-    child = ET.SubElement(self._el, tag,
-                          {k: str(v) for k, v in attrs.items()})
+    from dm_control_tpu.mjcf import schema
+    attrs = {k.rstrip('_'): str(v) for k, v in attrs.items()}
+    schema.validate_element(tag, attrs, schema.caller_line())
+    child = ET.SubElement(self._el, tag, attrs)
     return Element(child)
 
   def get(self, attr: str, default=None):
     return self._el.attrib.get(attr, default)
 
   def set(self, attr: str, value) -> 'Element':
+    from dm_control_tpu.mjcf import schema
+    schema.validate_element(self._el.tag, {attr: str(value)},
+                            schema.caller_line())
     self._el.set(attr, str(value))
     return self
 

@@ -1,0 +1,176 @@
+"""MJCF schema subset: element/attribute validation for the DOM.
+
+The reference parses MuJoCo's full schema.xml into ElementSpec trees
+(mjcf/schema.py:47); here the schema is a curated table of the subset the
+compiler understands, used to validate DOM edits at authoring time with
+source attribution (the role of the reference's mjcf/debugging.py)."""
+
+from __future__ import annotations
+
+import traceback
+from typing import Dict, Set
+
+# attribute kinds: 'f' float(s), 'i' int(s), 'b' true/false, 'k' keyword,
+# 's' string/name
+_COMMON_GEOM = dict(
+    name='s', type='k', size='f', pos='f', quat='f', euler='f', zaxis='f',
+    axisangle='f', fromto='f', contype='i', conaffinity='i', condim='i',
+    priority='i', friction='f', mass='f', density='f', margin='f',
+    gap='f', solmix='f', solref='f', solimp='f', rgba='f', material='s',
+    mesh='s', hfield='s', group='i', **{'class': 's'})
+
+SCHEMA: Dict[str, Dict[str, str]] = {
+    'mujoco': dict(model='s'),
+    'compiler': dict(angle='k', eulerseq='k', inertiafromgeom='k',
+                     balanceinertia='b', settotalmass='f', autolimits='b',
+                     boundmass='f', boundinertia='f', meshdir='s',
+                     texturedir='s', coordinate='k'),
+    'option': dict(timestep='f', gravity='f', wind='f', magnetic='f',
+                   density='f', viscosity='f', integrator='k', cone='k',
+                   solver='k', iterations='i', ls_iterations='i',
+                   tolerance='f', ls_tolerance='f', impratio='f',
+                   noslip_iterations='i', noslip_tolerance='f',
+                   collision='k', jacobian='k', timeconst='f'),
+    'flag': dict(constraint='k', equality='k', frictionloss='k', limit='k',
+                 contact='k', passive='k', gravity='k', clampctrl='k',
+                 warmstart='k', filterparent='k', actuation='k',
+                 refsafe='k', sensor='k', energy='k', eulerdamp='k',
+                 spring='k', damper='k'),
+    'size': dict(njmax='i', nconmax='i', nstack='i', nuserdata='i',
+                 nkey='i'),
+    'worldbody': dict(),
+    'body': dict(name='s', pos='f', quat='f', euler='f', zaxis='f',
+                 axisangle='f', childclass='s', mocap='b', gravcomp='f'),
+    'inertial': dict(pos='f', quat='f', mass='f', diaginertia='f',
+                     fullinertia='f', euler='f'),
+    'joint': dict(name='s', type='k', pos='f', axis='f', limited='k',
+                  range='f', springdamper='f', stiffness='f', damping='f',
+                  armature='f', frictionloss='f', ref='f', springref='f',
+                  margin='f', solreflimit='f', solimplimit='f',
+                  solreffriction='f', solimpfriction='f', group='i',
+                  actuatorfrclimited='k', actuatorfrcrange='f',
+                  **{'class': 's'}),
+    'freejoint': dict(name='s'),
+    'geom': _COMMON_GEOM,
+    'site': dict(name='s', type='k', size='f', pos='f', quat='f',
+                 euler='f', zaxis='f', fromto='f', rgba='f', group='i',
+                 material='s', **{'class': 's'}),
+    'camera': dict(name='s', pos='f', quat='f', euler='f', xyaxes='f',
+                   mode='k', fovy='f', target='s', **{'class': 's'}),
+    'light': dict(name='s', pos='f', dir='f', directional='b',
+                  castshadow='b', diffuse='f', specular='f', cutoff='f',
+                  exponent='f', attenuation='f', **{'class': 's'}),
+    'default': {'class': 's'},
+    'asset': dict(),
+    'mesh': dict(name='s', file='s', scale='f', **{'class': 's'}),
+    'hfield': dict(name='s', size='f', nrow='i', ncol='i', file='s'),
+    'texture': dict(name='s', type='k', file='s', builtin='k', rgb1='f',
+                    rgb2='f', width='i', height='i', mark='k',
+                    markrgb='f', random='f', gridsize='i', gridlayout='s'),
+    'material': dict(name='s', texture='s', rgba='f', reflectance='f',
+                     shininess='f', specular='f', texrepeat='f',
+                     texuniform='b', emission='f', **{'class': 's'}),
+    'tendon': dict(),
+    'fixed': dict(name='s', limited='k', range='f', stiffness='f',
+                  damping='f', frictionloss='f', springlength='f',
+                  solreflimit='f', solimplimit='f', margin='f',
+                  **{'class': 's'}),
+    'spatial': dict(name='s', limited='k', range='f', stiffness='f',
+                    damping='f', frictionloss='f', width='f',
+                    springlength='f', solreflimit='f', solimplimit='f',
+                    margin='f', rgba='f', material='s', **{'class': 's'}),
+    'actuator': dict(),
+    'motor': dict(name='s', joint='s', tendon='s', site='s', gear='f',
+                  ctrllimited='k', ctrlrange='f', forcelimited='k',
+                  forcerange='f', group='i', **{'class': 's'}),
+    'position': dict(name='s', joint='s', tendon='s', kp='f', kv='f',
+                     gear='f', ctrllimited='k', ctrlrange='f',
+                     forcelimited='k', forcerange='f', group='i',
+                     **{'class': 's'}),
+    'velocity': dict(name='s', joint='s', tendon='s', kv='f', gear='f',
+                     ctrllimited='k', ctrlrange='f', forcelimited='k',
+                     forcerange='f', group='i', **{'class': 's'}),
+    'general': dict(name='s', joint='s', tendon='s', site='s', gear='f',
+                    ctrllimited='k', ctrlrange='f', forcelimited='k',
+                    forcerange='f', actlimited='k', actrange='f',
+                    dyntype='k', gaintype='k', biastype='k', dynprm='f',
+                    gainprm='f', biasprm='f', group='i', **{'class': 's'}),
+    'sensor': dict(),
+    'equality': dict(),
+    'connect': dict(name='s', body1='s', body2='s', anchor='f',
+                    active='b', solref='f', solimp='f', **{'class': 's'}),
+    'weld': dict(name='s', body1='s', body2='s', relpose='f', anchor='f',
+                 active='b', solref='f', solimp='f', torquescale='f',
+                 **{'class': 's'}),
+    'contact': dict(),
+    'pair': dict(name='s', geom1='s', geom2='s', condim='i', friction='f',
+                 solref='f', solimp='f', margin='f', gap='f',
+                 **{'class': 's'}),
+    'exclude': dict(name='s', body1='s', body2='s'),
+    'keyframe': dict(),
+    'key': dict(name='s', time='f', qpos='f', qvel='f', act='f',
+                ctrl='f'),
+    'include': dict(file='s'),
+    'visual': dict(),
+}
+
+# sensor elements share one attribute shape
+for _s in ('touch', 'accelerometer', 'velocimeter', 'gyro', 'force',
+           'torque', 'magnetometer', 'rangefinder', 'jointpos',
+           'jointvel', 'tendonpos', 'tendonvel', 'actuatorpos',
+           'actuatorvel', 'actuatorfrc', 'ballquat', 'ballangvel',
+           'framepos', 'framequat', 'framexaxis', 'frameyaxis',
+           'framezaxis', 'framelinvel', 'frameangvel', 'framelinacc',
+           'frameangacc', 'subtreecom', 'subtreelinvel', 'subtreeangmom',
+           'clock'):
+  SCHEMA[_s] = dict(name='s', site='s', joint='s', tendon='s',
+                    actuator='s', body='s', objtype='k', objname='s',
+                    reftype='k', refname='s', cutoff='f', noise='f')
+
+# joint-entry inside fixed tendons
+SCHEMA['joint'].update({'coef': 'f', 'joint': 's'})
+
+_KNOWN_CHILDLESS = {'include'}
+
+
+class SchemaError(ValueError):
+  pass
+
+
+def validate_element(tag: str, attrs: Dict[str, str],
+                     source_line: str = '') -> None:
+  """Raise SchemaError for unknown tags / attributes / bad numbers."""
+  spec = SCHEMA.get(tag)
+  if spec is None:
+    raise SchemaError(f'unknown MJCF element <{tag}>{source_line}')
+  for k, v in attrs.items():
+    kind = spec.get(k)
+    if kind is None:
+      raise SchemaError(
+          f'<{tag}> has no attribute {k!r}{source_line}; '
+          f'valid: {sorted(spec)}')
+    if kind == 'f':
+      try:
+        [float(x) for x in str(v).split()]
+      except ValueError:
+        raise SchemaError(
+            f'<{tag} {k}="{v}">: expected float(s){source_line}')
+    elif kind == 'i':
+      try:
+        [int(x) for x in str(v).split()]
+      except ValueError:
+        raise SchemaError(
+            f'<{tag} {k}="{v}">: expected int(s){source_line}')
+    elif kind == 'b':
+      if str(v) not in ('true', 'false'):
+        raise SchemaError(
+            f'<{tag} {k}="{v}">: expected true/false{source_line}')
+
+
+def caller_line() -> str:
+  """Source attribution for DOM edits (the reference's mjcf/debugging.py
+  role): the first stack frame outside this package."""
+  for frame in reversed(traceback.extract_stack()[:-2]):
+    if 'dm_control_tpu/mjcf' not in frame.filename.replace('\\', '/'):
+      return f' (from {frame.filename}:{frame.lineno})'
+  return ''

@@ -51,3 +51,42 @@ def test_find_and_edit():
   g.set('size', '.2')
   m = root.compile()
   assert abs(m.geom_size[m.name2id('geom', 'g'), 0] - 0.2) < 1e-12
+
+
+def test_schema_validation():
+  """Schema-validated DOM edits with source attribution
+  (reference mjcf/schema.py + debugging.py roles)."""
+  import pytest
+  from dm_control_tpu.mjcf import dom
+  from dm_control_tpu.mjcf.schema import SchemaError
+  root = dom.RootElement(model='m')
+  body = root.worldbody.add('body', name='b', pos='0 0 1')
+  with pytest.raises(SchemaError) as e:
+    body.add('geom', typ='sphere')        # typo'd attribute
+  assert 'typ' in str(e.value) and 'test_dom' in str(e.value)
+  with pytest.raises(SchemaError):
+    body.add('geoom', type='sphere')      # unknown element
+  with pytest.raises(SchemaError):
+    body.add('geom', type='sphere', size='abc')  # bad float
+  body.add('geom', type='sphere', size='0.1', name='ok')
+
+
+def test_export_with_assets(tmp_path):
+  import os
+  from dm_control_tpu.mjcf import compiler as c
+  from dm_control_tpu.mjcf.export_with_assets import (
+      export_with_assets, export_with_assets_as_zip)
+  from dm_control_tpu.suite import common
+  src = common.model_path('dog.xml')
+  root = c._load_xml(src)
+  out = export_with_assets(root, str(tmp_path / 'dog'),
+                           base_dir=os.path.dirname(src))
+  files = os.listdir(tmp_path / 'dog')
+  assert 'model.xml' in files
+  assert sum(f.endswith('.npz') or f.endswith('.stl') for f in files) > 100
+  # exported model compiles
+  m = c.compile_path(out)
+  assert m.nv == 85
+  z = export_with_assets_as_zip(root, str(tmp_path / 'dog.zip'),
+                                base_dir=os.path.dirname(src))
+  assert os.path.getsize(z) > 10000
