@@ -703,6 +703,14 @@ def _collide_mesh(m: Model, d: Data, grp, g1s, g2s, pos1, mat1, size1,
     return _sphere_mesh(pos1, mat1, size1, pos2, mat2, size2, hulls2)
   if grp.t1 == GeomType.CAPSULE:
     return _capsule_mesh(pos1, mat1, size1, pos2, mat2, size2, hulls2)
+  if grp.t1 == GeomType.BOX:
+    # box as its 8-corner hull -> hull-vs-hull
+    signs = jnp.asarray(
+        [[sx, sy, sz] for sx in (-1., 1.) for sy in (-1., 1.)
+         for sz in (-1., 1.)], size1.dtype)
+    corners = size1[..., None, :] * signs
+    return _mesh_mesh(pos1, mat1, size1, pos2, mat2, size2,
+                      corners, hulls2)
   if grp.t1 == GeomType.PLANE:
     # plane vs hull: deepest hull vertex below the plane
     n = mat1[..., :, 2]

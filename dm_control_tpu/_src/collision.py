@@ -53,6 +53,7 @@ _PAIR_NCON = {
     (GeomType.CYLINDER, GeomType.CYLINDER): 2,
     (GeomType.CYLINDER, GeomType.BOX): 4,
     (GeomType.BOX, GeomType.BOX): 8,
+    (GeomType.BOX, GeomType.MESH): 1,
     (GeomType.MESH, GeomType.MESH): 1,
     (GeomType.HFIELD, GeomType.SPHERE): 1,
     (GeomType.HFIELD, GeomType.CAPSULE): 2,

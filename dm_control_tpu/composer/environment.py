@@ -52,11 +52,16 @@ class Environment(dm_env.Environment):
     def control_step(carry, action):
       d, obs_state, substep, key = carry
       d = d.replace(ctrl=action)
-      for _ in range(n_sub):
+      # scan, not unroll: jaco-scale models take 40+ substeps per
+      # control step and an unrolled graph compiles for minutes
+      def substep_fn(c, _):
+        d, obs_state, substep, key = c
         d = step_fn(d)
         key, sub = jax.random.split(key)
         obs_state = pipeline.update(obs_state, d, substep, sub)
-        substep = substep + 1
+        return (d, obs_state, substep + 1, key), None
+      (d, obs_state, substep, key), _ = jax.lax.scan(
+          substep_fn, (d, obs_state, substep, key), None, length=n_sub)
       reward = task.get_reward(m, d)
       obs = pipeline.read(obs_state, substep)
       return (d, obs_state, substep, key), (obs, reward)
@@ -94,7 +99,9 @@ class Environment(dm_env.Environment):
     self._carry, (obs, reward) = self._control_step(self._carry, action)
     self._step_count += 1
     d = self._carry[0]
-    reward = float(reward)
+    reward = np.asarray(jax.device_get(reward))
+    # multi-agent tasks return one reward per player
+    reward = float(reward) if reward.ndim == 0 else reward
     term = self._task.get_termination(self._model, d)
     done_discount = None
     if term is not None and bool(term):
@@ -174,11 +181,14 @@ class BatchedEnvironment:
     def step_one(carry, action):
       d, obs_state, substep, key = carry
       d = d.replace(ctrl=action)
-      for _ in range(n_sub):
+      def substep_fn(c, _):
+        d, obs_state, substep, key = c
         d = step_fn(d)
         key, sub = jax.random.split(key)
         obs_state = pipeline.update(obs_state, d, substep, sub)
-        substep = substep + 1
+        return (d, obs_state, substep + 1, key), None
+      (d, obs_state, substep, key), _ = jax.lax.scan(
+          substep_fn, (d, obs_state, substep, key), None, length=n_sub)
       reward = task.get_reward(m, d)
       term = task.get_termination(m, d)
       done = d.diverged if term is None else jnp.logical_or(

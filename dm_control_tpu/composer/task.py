@@ -89,6 +89,10 @@ class ComposerTask:
     return self._model
 
   @property
+  def model(self) -> Model:
+    return self.compile()
+
+  @property
   def observables(self) -> Dict[str, ObservableSpec]:
     self.compile()
     return dict(self._observables)

@@ -2,5 +2,8 @@
 (reference: dm_control/locomotion/)."""
 
 from dm_control_tpu.locomotion import arenas  # noqa: F401
+from dm_control_tpu.locomotion import mocap  # noqa: F401
+from dm_control_tpu.locomotion import soccer  # noqa: F401
 from dm_control_tpu.locomotion import tasks  # noqa: F401
+from dm_control_tpu.locomotion import tracking  # noqa: F401
 from dm_control_tpu.locomotion import walkers  # noqa: F401
