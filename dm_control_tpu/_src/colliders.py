@@ -5,7 +5,7 @@ computation over its static candidate-pair list; results land in the padded
 Contact buffer in the fixed order produced by collision.groups.
 Contact parameter combination (friction/solref/solimp/condim mixing)
 follows the reference's documented rules and is validated against the
-oracle in tests/test_collision.py.
+oracle in tests/test_constraint.py and tests/test_step.py.
 """
 
 from __future__ import annotations

@@ -225,6 +225,96 @@ def camera_pose(m: Model, d: Data, camera_id: int):
   return pos, rot
 
 
+def free_camera_pose(lookat, distance, azimuth, elevation):
+  """World pose of a free camera from the reference MovableCamera's
+  (lookat, distance, azimuth, elevation) parameterization
+  (dm_control/mujoco/engine.py:875-917); angles in degrees, elevation
+  negative when looking down, MuJoCo's mjv free-camera convention.
+
+  Returns (position, rotation) with the camera looking along -z."""
+  lookat = jnp.asarray(lookat)
+  dtype = lookat.dtype
+  az = jnp.deg2rad(jnp.asarray(azimuth, dtype))
+  el = jnp.deg2rad(jnp.asarray(elevation, dtype))
+  fwd = jnp.stack([jnp.cos(el) * jnp.cos(az),
+                   jnp.cos(el) * jnp.sin(az),
+                   jnp.sin(el)])
+  zw = jnp.asarray([0.0, 0.0, 1.0], dtype)
+  right = math.normalize(jnp.cross(fwd, zw)
+                         + jnp.asarray([1e-12, 0, 0], dtype))
+  up = jnp.cross(right, fwd)
+  rot = jnp.stack([right, up, -fwd], axis=-1)
+  pos = lookat - distance * fwd
+  return pos, rot
+
+
+def select(m: Model, d: Data, cursor_position, height: int, width: int,
+           camera_id: int = 0, camera=None):
+  """Pixel -> object pick (reference Camera.select, engine.py:824-872).
+
+  cursor_position: (x, y) in [0, 1] viewport coordinates, origin at the
+  bottom-left (the reference convention).  Returns
+  (body_id, geom_id, world_position); ids are -1 on background."""
+  dtype = d.qpos.dtype
+  if camera is None:
+    cam_pos, cam_rot = camera_pose(m, d, camera_id)
+    fovy = float(m.cam_fovy[camera_id]) * np.pi / 180.0
+  else:
+    cam_pos, cam_rot, fovy = camera
+  cx, cy = cursor_position
+  tan = np.tan(fovy / 2)
+  x = (2.0 * cx - 1.0) * tan * width / height
+  y = (2.0 * cy - 1.0) * tan
+  dir_cam = jnp.asarray([x, y, -1.0], dtype)
+  direction = math.normalize(dir_cam @ cam_rot.T)
+  seg = render(m, d, 1, 1, camera_id, segmentation=True, camera=camera,
+               _rays=(cam_pos, direction[None]))
+  t = raycast(m, d, cam_pos, direction)
+  geom_id = jnp.asarray(seg).ravel()[0]
+  body_id = jnp.where(geom_id >= 0,
+                      jnp.asarray(m.geom_bodyid, jnp.int32)[
+                          jnp.maximum(geom_id, 0)], -1)
+  pos = cam_pos + t * direction
+  return body_id, geom_id, jnp.where(t > 0, pos,
+                                     jnp.full((3,), jnp.nan, dtype))
+
+
+class MovableCamera:
+  """Free camera with a settable pose over the raytracer (reference
+  MovableCamera, engine.py:875-917)."""
+
+  def __init__(self, m: Model, height: int = 64, width: int = 64,
+               lookat=(0.0, 0.0, 0.5), distance=4.0, azimuth=90.0,
+               elevation=-30.0):
+    self._m = m
+    self._height, self._width = height, width
+    self.set_pose(lookat, distance, azimuth, elevation)
+
+  def get_pose(self):
+    """(lookat, distance, azimuth, elevation), engine.py:892-899."""
+    return self._pose
+
+  def set_pose(self, lookat, distance, azimuth, elevation):
+    self._pose = (np.asarray(lookat, np.float64), float(distance),
+                  float(azimuth), float(elevation))
+
+  def _camera(self, d: Data, fovy_deg: float = 45.0):
+    lookat, dist, az, el = self._pose
+    pos, rot = free_camera_pose(jnp.asarray(lookat, d.qpos.dtype),
+                                dist, az, el)
+    return pos, rot, fovy_deg * np.pi / 180.0
+
+  def render(self, d: Data, depth: bool = False,
+             segmentation: bool = False):
+    return render(self._m, d, self._height, self._width,
+                  depth=depth, segmentation=segmentation,
+                  camera=self._camera(d))
+
+  def select(self, d: Data, cursor_position):
+    return select(self._m, d, cursor_position, self._height, self._width,
+                  camera=self._camera(d))
+
+
 # ---------------------------------------------------------------------------
 # Renderer.
 # ---------------------------------------------------------------------------
@@ -232,26 +322,37 @@ def camera_pose(m: Model, d: Data, camera_id: int):
 
 def render(m: Model, d: Data, height: int = 64, width: int = 64,
            camera_id: int = 0, depth: bool = False,
-           segmentation: bool = False):
+           segmentation: bool = False, camera=None, _rays=None):
   """Raytrace one camera view. Returns (H, W, 3) RGB float in [0, 1],
   or (H, W) depth (distance along the view ray), or (H, W) int32 geom id
-  (-1 background) for segmentation."""
+  (-1 background) for segmentation.
+
+  `camera` overrides the model camera with an explicit
+  (position, rotation, fovy_radians) pose (e.g. from free_camera_pose);
+  `_rays` is an internal (origin, directions) override used by select."""
   dtype = d.qpos.dtype
-  cam_pos, cam_rot = camera_pose(m, d, camera_id)
-  fovy = float(m.cam_fovy[camera_id]) * np.pi / 180.0
+  if camera is not None:
+    cam_pos, cam_rot, fovy = camera
+  else:
+    cam_pos, cam_rot = camera_pose(m, d, camera_id)
+    fovy = float(m.cam_fovy[camera_id]) * np.pi / 180.0
 
-  # pinhole rays in camera frame: x right, y up, looking along -z
-  tan = np.tan(fovy / 2)
-  ys = jnp.linspace(tan, -tan, height, dtype=dtype)
-  xs = jnp.linspace(-tan * width / height, tan * width / height, width,
-                    dtype=dtype)
-  gx, gy = jnp.meshgrid(xs, ys)
-  dirs_cam = jnp.stack(
-      [gx.ravel(), gy.ravel(), -jnp.ones_like(gx).ravel()], -1)
-  dirs = math.normalize(dirs_cam @ cam_rot.T)
-  o = cam_pos
-
-  n_ray = height * width
+  if _rays is not None:
+    o, dirs = _rays
+    n_ray = dirs.shape[0]
+    height, width = n_ray, 1
+  else:
+    # pinhole rays in camera frame: x right, y up, looking along -z
+    tan = np.tan(fovy / 2)
+    ys = jnp.linspace(tan, -tan, height, dtype=dtype)
+    xs = jnp.linspace(-tan * width / height, tan * width / height, width,
+                      dtype=dtype)
+    gx, gy = jnp.meshgrid(xs, ys)
+    dirs_cam = jnp.stack(
+        [gx.ravel(), gy.ravel(), -jnp.ones_like(gx).ravel()], -1)
+    dirs = math.normalize(dirs_cam @ cam_rot.T)
+    o = cam_pos
+    n_ray = height * width
   best_t = jnp.full((n_ray,), _BIG, dtype)
   best_n = jnp.zeros((n_ray, 3), dtype)
   best_rgb = jnp.zeros((n_ray, 3), dtype)

@@ -128,12 +128,14 @@ class Environment(dm_env.Environment):
     return action_spec(self._model)
 
   def observation_spec(self):
-    key = jax.random.PRNGKey(0)
-    _, _, obs = self._reset_fn(key)
-    return collections.OrderedDict(
-        (k, specs.Array(shape=np.shape(v), dtype=np.asarray(v).dtype,
-                        name=k))
-        for k, v in obs.items())
+    if getattr(self, '_obs_spec', None) is None:
+      key = jax.random.PRNGKey(0)
+      _, _, obs = self._reset_fn(key)
+      self._obs_spec = collections.OrderedDict(
+          (k, specs.Array(shape=np.shape(v), dtype=np.asarray(v).dtype,
+                          name=k))
+          for k, v in obs.items())
+    return self._obs_spec
 
   @property
   def physics(self):

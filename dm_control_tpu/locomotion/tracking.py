@@ -258,3 +258,20 @@ def load(walker_root, clips: mocap.ClipCollection, time_limit=30.0,
   if batch_size:
     return BatchedEnvironment(task, batch_size, time_limit=time_limit)
   return Environment(task, time_limit=time_limit, random=random)
+
+
+def cmu_tracking(amc_paths: Sequence[str], dt: float = 0.02,
+                 time_limit=30.0, random=None, batch_size=None,
+                 **task_kwargs):
+  """Track CMU .amc clips with the 56-DoF CMU humanoid (the reference's
+  flagship mocap pipeline: suite/utils/parse_amc.py feeding
+  MultiClipMocapTracking with a cmu_humanoid walker)."""
+  from dm_control_tpu._src import engine
+  from dm_control_tpu.mjcf.compiler import _load_xml
+  from dm_control_tpu.suite import common
+  path = common.model_path('humanoid_CMU.xml')
+  m = engine.load_model(path)
+  clips = [mocap.from_amc(p, m, dt) for p in amc_paths]
+  coll = mocap.build_features(m, clips)
+  return load(_load_xml(path), coll, time_limit=time_limit,
+              random=random, batch_size=batch_size, **task_kwargs)

@@ -1,0 +1,87 @@
+"""MovableCamera pose control + pixel->object selection (reference:
+mujoco/engine.py:824-917 Camera.select / MovableCamera)."""
+
+import numpy as np
+
+from dm_control_tpu._src import engine, forward, render
+
+
+_XML = """
+<mujoco>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 .1"/>
+    <body name="ball" pos="0 0 1">
+      <freejoint/>
+      <geom name="ball_geom" type="sphere" size="0.3" rgba="1 0 0 1"/>
+    </body>
+    <body name="post" pos="2 0 0.5">
+      <geom name="post_geom" type="box" size=".1 .1 .5" rgba="0 1 0 1"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _scene():
+  m = engine.load_model_from_string(_XML)
+  d = forward.forward(m, forward.make_data(m))
+  return m, d
+
+
+def test_movable_camera_pose_roundtrip():
+  m, _ = _scene()
+  cam = render.MovableCamera(m, 32, 32)
+  cam.set_pose((0.0, 0.0, 1.0), 5.0, 45.0, -20.0)
+  lookat, dist, az, el = cam.get_pose()
+  np.testing.assert_allclose(lookat, [0, 0, 1])
+  assert (dist, az, el) == (5.0, 45.0, -20.0)
+
+
+def test_movable_camera_renders_scene():
+  m, d = _scene()
+  cam = render.MovableCamera(m, 32, 48, lookat=(0, 0, 1), distance=4.0,
+                             azimuth=180.0, elevation=-10.0)
+  rgb = np.asarray(cam.render(d))
+  assert rgb.shape == (32, 48, 3)
+  assert rgb.std() > 0.01, 'scene must not be empty'
+  seg = np.asarray(cam.render(d, segmentation=True))
+  ball_g = m.name2id('geom', 'ball_geom')
+  assert (seg == ball_g).any(), 'ball must be visible from the camera'
+  # moving the camera changes the view
+  cam.set_pose((0, 0, 1), 8.0, 90.0, -45.0)
+  rgb2 = np.asarray(cam.render(d))
+  assert np.abs(rgb - rgb2).max() > 0.05
+
+
+def test_select_hits_the_ball():
+  m, d = _scene()
+  cam = render.MovableCamera(m, 64, 64, lookat=(0, 0, 1), distance=4.0,
+                             azimuth=180.0, elevation=0.0)
+  body, geom, pos = cam.select(d, (0.5, 0.5))
+  assert int(geom) == m.name2id('geom', 'ball_geom')
+  assert int(body) == m.name2id('body', 'ball')
+  # hit point is on the sphere surface facing the camera
+  np.testing.assert_allclose(np.asarray(pos)[2], 1.0, atol=0.05)
+  assert np.linalg.norm(np.asarray(pos) - [0, 0, 1]) < 0.35
+
+
+def test_select_background_returns_minus_one():
+  m, d = _scene()
+  cam = render.MovableCamera(m, 64, 64, lookat=(0, 0, 3), distance=2.0,
+                             azimuth=0.0, elevation=45.0)  # sky
+  body, geom, pos = cam.select(d, (0.5, 0.9))
+  assert int(geom) == -1
+  assert int(body) == -1
+
+
+def test_fixed_camera_select_consistent_with_segmentation():
+  m, d = _scene()
+  # model has no <camera>; use an explicit free pose for both paths
+  campose = render.free_camera_pose(
+      np.array([0.0, 0.0, 1.0]), 4.0, 180.0, -10.0)
+  camera = (campose[0], campose[1], 45.0 * np.pi / 180.0)
+  seg = np.asarray(render.render(m, d, 33, 33, segmentation=True,
+                                 camera=camera))
+  cy, cx = 16, 16
+  body, geom, _ = render.select(m, d, (0.5, 0.5), 33, 33, camera=camera)
+  assert int(geom) == int(seg[cy, cx])

@@ -119,6 +119,25 @@ def test_random_start_and_clip_choice(setup):
   assert len(seen) > 1, 'episode inits must randomize clip/start'
 
 
+def test_cmu_amc_tracking_pipeline():
+  """parse_amc -> ClipCollection -> tracking env over the 56-DoF CMU
+  humanoid (the reference's mocap flagship path)."""
+  from dm_control_tpu.suite import common
+  amc = common.model_path('zeros.amc')
+  env = tracking.cmu_tracking([amc], dt=0.02, random=0, min_steps=2,
+                              ref_steps=(1,),
+                              always_init_at_clip_start=True,
+                              termination_error_threshold=10.0)
+  ts = env.reset()
+  assert 'reference_rel_joints' in ts.observation
+  nu = env.action_spec().shape[0]
+  for _ in range(3):
+    ts = env.step(np.zeros(nu))
+    assert np.isfinite(ts.reward)
+    if ts.last():
+      break
+
+
 def test_batched_tracking(setup):
   root, m, clips = setup
   env = tracking.load(root, clips, batch_size=4, min_steps=5,
