@@ -76,6 +76,101 @@ def go_to_target(batch_size=None, time_limit=25.0, random=None):
   return Environment(task, time_limit=time_limit, random=random)
 
 
+def random_goal_maze(n_cells=5, batch_size=None, time_limit=30.0,
+                     random=None, maze_seed=0):
+  """Goal-reaching in a procedural maze (reference
+  tasks/random_goal_maze.py + arenas/mazes.py).  The maze topology is
+  fixed at build time (one compiled model); the goal cell and walker
+  spawn cell are drawn per episode from the maze's open cells —
+  in-graph, so the batched path randomizes per lane."""
+  arena, open_pos = arenas.maze(n_cells=n_cells, seed=maze_seed)
+  arena = _add_target_geom(arena)
+  walker = walkers.Ant()
+  task = ComposerTask(arena=arena, control_timestep=0.025)
+  task.attach(walker)
+  m = task.compile()
+  obs, torso = walker.observables_for(m, 'walker')
+  for name, spec in obs.items():
+    task.add_observable(f'walker/{name}', spec)
+  target_g = m.name2id('geom', 'target')
+  root_q = int(m.jnt_qposadr[m.name2id('joint', 'walker/root')])
+  cells = jnp.asarray(open_pos)          # (K, 2) static
+
+  def target_pos(m_, d):
+    return (d.model_var or {}).get(
+        'geom_pos', jnp.asarray(m_.geom_pos, d.qpos.dtype))[target_g]
+
+  task.add_observable('target', ObservableSpec(
+      fn=lambda m_, d: target_pos(m_, d) - d.xpos[torso]))
+
+  def init_episode(m_, d, key):
+    k1, k2 = jax.random.split(key)
+    dtype = d.qpos.dtype
+    idx = jax.random.choice(k1, cells.shape[0], (2,), replace=False)
+    spawn = cells[idx[0]].astype(dtype)
+    goal = cells[idx[1]].astype(dtype)
+    geom_pos = jnp.asarray(m_.geom_pos, dtype).at[target_g, :2].set(goal)
+    qpos = d.qpos.at[root_q:root_q + 2].set(spawn)
+    mv = dict(d.model_var or {})
+    mv['geom_pos'] = geom_pos
+    return d.replace(qpos=qpos, model_var=mv)
+
+  task.add_init_hook(init_episode)
+
+  def reached(m_, d):
+    return jnp.linalg.norm(
+        target_pos(m_, d)[:2] - d.xpos[torso, :2]) < 0.8
+
+  task.set_reward(lambda m_, d: reached(m_, d).astype(d.qpos.dtype))
+  task.set_termination(lambda m_, d: jnp.logical_or(
+      reached(m_, d), d.xpos[torso, 2] < 0.2))
+  if batch_size:
+    return BatchedEnvironment(task, batch_size, time_limit=time_limit)
+  return Environment(task, time_limit=time_limit, random=random)
+
+
+def escape(radius=8.0, depth=2.0, batch_size=None, time_limit=20.0,
+           random=None):
+  """Escape a heightfield bowl (reference tasks/escape.py:188 +
+  arenas/bowl.py): reward is the linear tolerance on the walker's radial
+  distance reaching the bowl rim (the suite quadruped escape reward
+  shape, suite/quadruped.py:373-394)."""
+  arena, heights = arenas.bowl(radius=radius, depth=depth)
+  walker = walkers.Ant()
+  task = ComposerTask(arena=arena, control_timestep=0.025)
+  task.attach(walker)
+  m = task.compile()
+  obs, torso = walker.observables_for(m, 'walker')
+  for name, spec in obs.items():
+    task.add_observable(f'walker/{name}', spec)
+  root_q = int(m.jnt_qposadr[m.name2id('joint', 'walker/root')])
+  terrain = jnp.asarray(heights.ravel())
+
+  task.add_observable('origin_distance', ObservableSpec(
+      fn=lambda m_, d: jnp.linalg.norm(d.xpos[torso])[None]))
+
+  def init_episode(m_, d, key):
+    dtype = d.qpos.dtype
+    mv = dict(d.model_var or {})
+    mv['hfield_data'] = terrain.astype(dtype)
+    # start near the bowl center, slightly above the terrain
+    qpos = d.qpos.at[root_q + 2].set(jnp.asarray(0.7, dtype))
+    return d.replace(qpos=qpos, model_var=mv)
+
+  task.add_init_hook(init_episode)
+
+  def get_reward(m_, d):
+    r = jnp.linalg.norm(d.xpos[torso, :2])
+    return rewards.tolerance(
+        r, (radius, jnp.inf), margin=radius, sigmoid='linear',
+        value_at_margin=0.0)
+
+  task.set_reward(get_reward)
+  if batch_size:
+    return BatchedEnvironment(task, batch_size, time_limit=time_limit)
+  return Environment(task, time_limit=time_limit, random=random)
+
+
 def run_through_corridor(corridor='empty', target_velocity=3.0,
                          batch_size=None, time_limit=30.0, random=None):
   """RunThroughCorridor (reference tasks/corridors.py): reward is the

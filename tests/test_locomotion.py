@@ -34,3 +34,50 @@ def test_walls_corridor_builds():
   env = tasks.run_through_corridor('walls', random=0)
   ts = env.reset()
   assert ts.step_type.first()
+
+
+def test_maze_generation_properties():
+  from dm_control_tpu.locomotion import arenas
+  walls = arenas.generate_maze(n_cells=6, seed=3)
+  # all cells open and mutually reachable (backtracker spans the grid)
+  assert not walls[1::2, 1::2].any()
+  # border fully walled
+  assert walls[0].all() and walls[-1].all()
+  assert walls[:, 0].all() and walls[:, -1].all()
+  # different seeds give different mazes
+  assert (walls != arenas.generate_maze(n_cells=6, seed=4)).any()
+
+
+def test_random_goal_maze_runs():
+  import numpy as np
+  from dm_control_tpu.locomotion import tasks
+  env = tasks.random_goal_maze(n_cells=3, random=0, time_limit=2.0)
+  ts = env.reset()
+  assert 'target' in ts.observation
+  spec = env.action_spec()
+  rng = np.random.RandomState(0)
+  while not ts.last():
+    ts = env.step(rng.uniform(spec.minimum, spec.maximum, spec.shape))
+    assert np.isfinite(ts.reward)
+  # goal/spawn differ across episodes
+  env.reset()
+  g1 = np.asarray(env.physics.model_var['geom_pos']).copy()
+  env.reset()
+  g2 = np.asarray(env.physics.model_var['geom_pos'])
+  assert (g1 != g2).any()
+
+
+def test_escape_bowl_runs():
+  import numpy as np
+  from dm_control_tpu.locomotion import tasks
+  env = tasks.escape(radius=4.0, random=0, time_limit=1.0)
+  ts = env.reset()
+  assert 'origin_distance' in ts.observation
+  d = env.physics
+  assert 'hfield_data' in d.model_var
+  spec = env.action_spec()
+  rng = np.random.RandomState(1)
+  while not ts.last():
+    ts = env.step(rng.uniform(spec.minimum, spec.maximum, spec.shape))
+    assert np.isfinite(ts.reward)
+    assert 0.0 <= ts.reward <= 1.0
