@@ -17,7 +17,7 @@ from dm_control_tpu.rl import control
 from dm_control_tpu.suite import common
 from dm_control_tpu.utils import containers
 
-_DEFAULT_TIME_LIMIT = 10
+_DEFAULT_TIME_LIMIT = float('inf')  # reference suite/lqr.py:37
 _CONTROL_COST_COEF = 0.1
 _TERMINAL_TOL = 1e-6
 SUITE = containers.TaggedTasks()

@@ -137,12 +137,20 @@ def test_task_parity(domain, task, n_steps, atol, obs_atol):
   rng = np.random.RandomState(5)
   for t in range(n_steps):
     action = rng.uniform(spec.minimum, spec.maximum)
-    ref_ts = ref_env.step(action)
+    try:
+      ref_ts = ref_env.step(action)
+    except Exception:
+      # oracle diverged under random actions (PhysicsError, e.g. lqr
+      # mjWARN_BADQACC); the lockstep comparison is over
+      break
     ts = env.step(action)
     if ref_ts.first() or ref_ts.reward is None:
       # oracle episode ended (e.g. lqr physics divergence under random
       # actions) and auto-restarted; the lockstep comparison is over
       break
+    assert ts.reward is not None, (
+        f'{domain}/{task} step {t}: our episode ended '
+        f'(step_type {ts.step_type}) while the oracle continues')
     err = abs(float(ref_ts.reward) - float(ts.reward))
     # relative term covers float64 ULP on huge rewards (lqr ~1e16)
     tol = atol + 1e-9 * abs(float(ref_ts.reward))
