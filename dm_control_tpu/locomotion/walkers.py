@@ -1,19 +1,31 @@
 """Walker entities with egocentric observables
-(reference: locomotion/walkers/base.py:83-131, ant.py).
+(reference: locomotion/walkers/base.py:83-131, ant.py,
+cmu_humanoid.py).
 
 The ant walker's model is generated procedurally (own design, not the
 reference asset): a spherical torso with four 2-segment capsule legs,
-torque actuators, and the standard proprioceptive sensor suite."""
+torque actuators, and the standard proprioceptive sensor suite.  The
+CMU humanoid wraps the vendored 56-DoF suite asset."""
 
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dm_control_tpu._src import math as _math
 from dm_control_tpu.composer.entity import Entity
 from dm_control_tpu.composer.observation import ObservableSpec
+
+
+def transform_vec_to_egocentric_frame(root_quat, vec):
+  """World vector(s) -> the walker's root frame (reference
+  walkers/base.py:83-131 transform_vec_to_egocentric_frame)."""
+  if vec.ndim == 1:
+    return _math.quat_rotate_inv(root_quat, vec)
+  return jnp.stack([_math.quat_rotate_inv(root_quat, v) for v in vec])
 
 
 def _ant_xml(torso_radius=0.25, leg_length=0.35, foot_length=0.45):
@@ -100,3 +112,73 @@ class Ant(Entity):
       out[f'sensors_{sname}'] = ObservableSpec(
           fn=lambda _m, d, a=adr, n=dim: d.sensordata[a:a + n])
     return out, torso
+
+
+class CMUHumanoid(Entity):
+  """The 56-DoF CMU humanoid as a walker entity (reference
+  cmu_humanoid.py:52-360): proprioception (joint angles/velocities),
+  kinematic sensors (root velocimeter/gyro/accelerometer), foot touch,
+  end-effector and appendage positions in the egocentric frame."""
+
+  _END_EFFECTORS = ('rradius', 'lradius', 'rfoot', 'lfoot')
+
+  def __init__(self, name='walker'):
+    from dm_control_tpu.mjcf.compiler import _load_xml
+    from dm_control_tpu.suite import common
+    root = _load_xml(common.model_path('humanoid_CMU.xml'))
+    super().__init__(mjcf_root=root, name=name)
+
+  def observables_for(self, m, prefix):
+    """name -> ObservableSpec for a compiled model; returns
+    (observables, root_body_id)."""
+    pref = f'{prefix}/' if prefix else ''
+    root_b = m.name2id('body', f'{pref}root' if f'{pref}root' in
+                       m.names['body'] else f'{pref}thorax')
+    # the free root is the first joint of the fragment
+    free_j = next(j for j in range(m.njnt)
+                  if (m.id2name('joint', j) or '').startswith(pref)
+                  and int(m.jnt_type[j]) == 0)
+    root_q = int(m.jnt_qposadr[free_j])
+    hinges_q = np.array([int(m.jnt_qposadr[j]) for j in range(m.njnt)
+                         if (m.id2name('joint', j) or '').startswith(pref)
+                         and int(m.jnt_type[j]) == 3])
+    hinges_d = np.array([int(m.jnt_dofadr[j]) for j in range(m.njnt)
+                         if (m.id2name('joint', j) or '').startswith(pref)
+                         and int(m.jnt_type[j]) == 3])
+    ee_bodies = np.array([m.name2id('body', f'{pref}{b}')
+                          for b in self._END_EFFECTORS])
+    head = m.name2id('body', f'{pref}head')
+    app_bodies = np.concatenate([ee_bodies, [head]])
+
+    def sensor_slice(name):
+      s = m.names['sensor'][f'{pref}{name}']
+      return int(m.sensor_adr[s]), int(m.sensor_dim[s])
+
+    def ego_positions(bodies):
+      def fn(_m, d):
+        rq = jax.lax.dynamic_slice(d.qpos, (root_q + 3,), (4,))
+        rel = d.xpos[bodies] - d.qpos[root_q:root_q + 3]
+        return transform_vec_to_egocentric_frame(rq, rel).ravel()
+      return fn
+
+    out = {}
+    out['joints_pos'] = ObservableSpec(fn=lambda _m, d: d.qpos[hinges_q])
+    out['joints_vel'] = ObservableSpec(fn=lambda _m, d: d.qvel[hinges_d])
+    out['body_height'] = ObservableSpec(
+        fn=lambda _m, d: d.qpos[root_q + 2][None])
+    out['world_zaxis'] = ObservableSpec(
+        fn=lambda _m, d: d.xmat[root_b, 2])
+    out['end_effectors_pos'] = ObservableSpec(fn=ego_positions(ee_bodies))
+    out['appendages_pos'] = ObservableSpec(fn=ego_positions(app_bodies))
+    for sname, oname in (('sensor_root_veloc', 'sensors_velocimeter'),
+                         ('sensor_root_gyro', 'sensors_gyro'),
+                         ('sensor_root_accel', 'sensors_accelerometer')):
+      adr, dim = sensor_slice(sname)
+      out[oname] = ObservableSpec(
+          fn=lambda _m, d, a=adr, n=dim: d.sensordata[a:a + n])
+    touch = [sensor_slice(f'sensor_touch_{s}')[0]
+             for s in ('ltoes', 'rtoes', 'lfoot', 'rfoot')]
+    touch = np.asarray(touch)
+    out['sensors_touch'] = ObservableSpec(
+        fn=lambda _m, d: jnp.log1p(d.sensordata[touch]))
+    return out, root_b

@@ -81,3 +81,25 @@ def test_escape_bowl_runs():
     ts = env.step(rng.uniform(spec.minimum, spec.maximum, spec.shape))
     assert np.isfinite(ts.reward)
     assert 0.0 <= ts.reward <= 1.0
+
+
+def test_cmu_walker_entity():
+  import numpy as np
+  from dm_control_tpu.composer.environment import Environment
+  from dm_control_tpu.composer.task import ComposerTask
+  from dm_control_tpu.locomotion import arenas, walkers
+  w = walkers.CMUHumanoid()
+  task = ComposerTask(arena=arenas.floor(size=(6., 6.), timestep=0.005),
+                      control_timestep=0.02)
+  task.attach(w)
+  m = task.compile()
+  obs, root_b = w.observables_for(m, 'walker')
+  for k, v in obs.items():
+    task.add_observable(f'walker/{k}', v)
+  env = Environment(task, time_limit=0.3, random=0)
+  ts = env.reset()
+  assert ts.observation['walker/joints_pos'].shape == (56,)
+  assert ts.observation['walker/end_effectors_pos'].shape == (12,)
+  assert ts.observation['walker/appendages_pos'].shape == (15,)
+  ts = env.step(np.zeros(env.action_spec().shape))
+  assert all(np.isfinite(v).all() for v in ts.observation.values())
