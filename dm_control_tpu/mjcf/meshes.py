@@ -68,11 +68,14 @@ def mass_properties(verts: np.ndarray, faces: np.ndarray,
   """(volume, com (3,), inertia_full (3,3) about com) at unit density.
 
   legacy=True reproduces the reference compiler's default mesh-inertia
-  algorithm (verified numerically against the oracle's body_mass on the
-  dog assets): tetrahedra are fanned from a center point with ABSOLUTE
-  volumes (robust to non-watertight surfaces), with a second pass fanned
-  from the first pass's center of mass.  legacy=False is the exact
-  signed-tetrahedron integral (watertight meshes only)."""
+  algorithm, identified numerically against the oracle on the dog
+  assets (mass AND CoM match to ~1e-15 / 6e-9 on BONEhumerus_L):
+  tetrahedra are fanned with ABSOLUTE volumes (robust to non-watertight
+  surfaces); the apex of the first pass is the area-weighted SURFACE
+  centroid, whose fan yields the final CoM; the second pass fans from
+  that CoM and yields the volume and inertia (about the CoM, which is
+  its own apex).  legacy=False is the exact signed-tetrahedron integral
+  (watertight meshes only)."""
 
   def fan(center, use_abs):
     a = verts[faces[:, 0]] - center
@@ -95,12 +98,20 @@ def mass_properties(verts: np.ndarray, faces: np.ndarray,
     d = com - center
     inertia_com = inertia_center - v * (
         np.dot(d, d) * np.eye(3) - np.outer(d, d))
-    return float(v), com, inertia_com
+    return float(v), com, inertia_com, inertia_center
 
   if not legacy:
-    return fan(np.zeros(3), use_abs=False)
-  _, com1, _ = fan(verts.mean(axis=0), use_abs=True)
-  return fan(com1, use_abs=True)
+    v, com, inertia_com, _ = fan(np.zeros(3), use_abs=False)
+    return v, com, inertia_com
+  tri = verts[faces]
+  area = 0.5 * np.linalg.norm(
+      np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1)
+  surf_cen = (area[:, None] * tri.mean(axis=1)).sum(axis=0) / area.sum()
+  _, com, _, _ = fan(surf_cen, use_abs=True)
+  # volume and inertia from the CoM-apex fan; the inertia is about the
+  # apex itself (the oracle does not re-shift to the pass-2 centroid)
+  vol, _, _, inertia_apex = fan(com, use_abs=True)
+  return vol, com, inertia_apex
 
 
 def convex_hull(verts: np.ndarray, max_verts: int = 64):

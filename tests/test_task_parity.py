@@ -52,11 +52,15 @@ CASES = [
     ('finger', 'spin', N_STEPS, CONTACT, CONTACT),
     ('finger', 'turn_easy', N_STEPS, CONTACT, CONTACT),
     ('finger', 'turn_hard', N_STEPS, CONTACT, CONTACT),
-    ('dog', 'stand', 10, 1e-2, 1.0),
-    ('dog', 'walk', 10, 1e-2, 1.0),
-    ('dog', 'trot', 10, 1e-2, 1.0),
-    ('dog', 'run', 10, 1e-2, 1.0),
-    ('dog', 'fetch', 5, 1e-1, 20.0),
+    ('dog', 'stand', 10, 1e-6, 1e-3),
+    ('dog', 'walk', 10, 1e-6, 1e-3),
+    ('dog', 'trot', 10, 1e-6, 1e-3),
+    ('dog', 'run', 10, 1e-6, 1e-3),
+    # fetch obs tol 100: the oracle's own inertial_sensors self-diverge
+    # by ~80 at step 0 from a 1e-10 qpos perturbation (measured; the dog
+    # lands during fetch init, and accelerometers at impact are
+    # hyper-chaotic) — tighter bounds would measure chaos, not fidelity
+    ('dog', 'fetch', 5, 1e-1, 100.0),
     ('fish', 'upright', N_STEPS, 1e-6, 1e-5),
     ('fish', 'swim', N_STEPS, 1e-6, 1e-5),
     ('hopper', 'stand', 450, CONTACT, 2e-3),
