@@ -133,6 +133,57 @@ def _ellipsoid_hit(ol, dl, size):
   return t, n
 
 
+def _hull_tri_table(m: Model):
+  """Per-mesh convex-hull triangles (outward-oriented), padded to one
+  (nmesh, T, 3, 3) array; cached on the model.  Rendering meshes traces
+  their collision hulls (<=64 verts) rather than the full surface."""
+  cached = m.__dict__.get('_hull_tri_table')
+  if cached is not None:
+    return cached
+  from scipy.spatial import ConvexHull
+  tris = []
+  for hv in (m.mesh_hull or []):
+    hv = np.asarray(hv)
+    try:
+      hull = ConvexHull(hv)
+      t = hv[hull.simplices]             # (T, 3, 3)
+      cen = hv.mean(axis=0)
+      n = np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0])
+      flip = np.einsum('ij,ij->i', n, t.mean(axis=1) - cen) < 0
+      t[flip] = t[flip][:, ::-1]
+    except Exception:
+      t = np.zeros((1, 3, 3))
+    tris.append(t)
+  tmax = max((t.shape[0] for t in tris), default=1)
+  tab = np.zeros((max(len(tris), 1), tmax, 3, 3))
+  for i, t in enumerate(tris):
+    tab[i, :t.shape[0]] = t
+    tab[i, t.shape[0]:] = t[-1] if t.shape[0] else 0.0  # degenerate pad
+  m.__dict__['_hull_tri_table'] = tab
+  return tab
+
+
+def _mesh_hit(ol, dl, tris):
+  """Moller-Trumbore over padded hull triangles: (n,3),(n,3),(T,3,3) ->
+  (t, normal) per ray."""
+  v0, e1, e2 = tris[:, 0], tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]
+  h = jnp.cross(dl[:, None, :], e2[None, :, :])          # (n, T, 3)
+  a = jnp.einsum('tj,ntj->nt', e1, h)
+  f = jnp.where(jnp.abs(a) < 1e-12, jnp.inf, 1.0 / a)
+  s = ol[:, None, :] - v0[None, :, :]
+  u = f * jnp.einsum('ntj,ntj->nt', s, h)
+  q = jnp.cross(s, e1[None, :, :])
+  v = f * jnp.einsum('nj,ntj->nt', dl, q)
+  t = f * jnp.einsum('tj,ntj->nt', e2, q)
+  ok = (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-9) & jnp.isfinite(t)
+  t = jnp.where(ok, t, _BIG)
+  best = jnp.argmin(t, axis=1)
+  tbest = jnp.take_along_axis(t, best[:, None], 1)[:, 0]
+  n = jnp.cross(e1, e2)
+  n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
+  return tbest, n[best]
+
+
 def _plane_hit(ol, dl):
   safe_dz = jnp.where(jnp.abs(dl[:, 2]) < 1e-12, 1e-12, dl[:, 2])
   t = -ol[:, 2] / safe_dz
@@ -150,9 +201,9 @@ def raycast(m: Model, d: Data, origin: jax.Array, direction: jax.Array,
             exclude_body: int = -1) -> jax.Array:
   """Distance along `direction` from `origin` to the nearest geom surface
   (-1.0 if none).  Replaces the reference's mj_ray (used by rangefinder
-  sensors, dm_control/suite/quadruped.py:206-212).  Mesh geoms are
-  skipped; heightfields use a march+bisection against the bilinear
-  surface."""
+  sensors, dm_control/suite/quadruped.py:206-212).  Mesh geoms trace
+  their convex collision hulls; heightfields use a march+bisection
+  against the bilinear surface."""
   dtype = origin.dtype
   dirs = direction[None]
   best = jnp.full((), _BIG, dtype)
@@ -161,6 +212,11 @@ def raycast(m: Model, d: Data, origin: jax.Array, direction: jax.Array,
       continue
     gt = GeomType(int(m.geom_type[g]))
     if gt == GeomType.MESH:
+      tris = jnp.asarray(_hull_tri_table(m)[int(m.geom_dataid[g])],
+                         dtype)
+      ol, dl = _to_local(origin, dirs, d.geom_xpos[g], d.geom_xmat[g])
+      t, _ = _mesh_hit(ol, dl, tris)
+      best = jnp.minimum(best, t[0])
       continue
     pos, mat = d.geom_xpos[g], d.geom_xmat[g]
     size = jnp.asarray(m.geom_size[g], dtype)
@@ -377,6 +433,10 @@ def render(m: Model, d: Data, height: int = 64, width: int = 64,
       t, nl = _box_hit(ol, dl, jnp.asarray(size, dtype))
     elif gtype == GeomType.ELLIPSOID:
       t, nl = _ellipsoid_hit(ol, dl, jnp.asarray(size, dtype))
+    elif gtype == GeomType.MESH:
+      tris = jnp.asarray(
+          _hull_tri_table(m)[int(m.geom_dataid[g])], dtype)
+      t, nl = _mesh_hit(ol, dl, tris)
     else:
       continue
     hit = t < best_t

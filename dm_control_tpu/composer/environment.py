@@ -211,6 +211,10 @@ class BatchedEnvironment:
     self._reset = jax.jit(jax.vmap(reset_one))
     self._step = jax.jit(jax.vmap(step_one))
 
+  @property
+  def task(self):
+    return self._task
+
   def reset(self, key):
     return self._reset(jax.random.split(key, self._batch))
 

@@ -236,6 +236,43 @@ def place_brick(random=None, batch_size=None):
   return _env(task, batch_size, random)
 
 
+def _add_vision(task, height=48, width=64):
+  """Attach an in-graph rendered 'pixels' observable (the role of the
+  reference's vision observation settings, manipulation/shared/
+  observations.py: a fixed front camera; here the analytic raytracer,
+  which traces the Jaco's mesh hulls)."""
+  from dm_control_tpu._src import render as render_lib
+  import numpy as np_
+  pose = render_lib.free_camera_pose(
+      np_.array([0.0, 0.0, 0.3]), 1.6, 215.0, -25.0)
+
+  def pixels(m_, d):
+    cam = (pose[0].astype(d.qpos.dtype), pose[1].astype(d.qpos.dtype),
+           55.0 * np_.pi / 180.0)
+    return render_lib.render(m_, d, height, width, camera=cam)
+
+  task.add_observable('pixels', ObservableSpec(fn=pixels))
+  return task
+
+
+def _register_vision_variants():
+  """reach_site_vision etc.: the feature task plus the pixels observable
+  (reference manipulation registry's _vision tags)."""
+  def make(feature_name):
+    def factory(random=None, batch_size=None, height=48, width=64):
+      env = REGISTRY[feature_name](random=random, batch_size=batch_size)
+      task = _add_vision(env.task, height, width)
+      # rebuild the env so its observation pipeline includes pixels
+      return _env(task, batch_size, random)
+    return factory
+  for name in list(REGISTRY):
+    if name.endswith('_features'):
+      vname = name[:-len('_features')] + '_vision'
+      REGISTRY[vname] = make(name)
+      TAGS[vname] = tuple(t for t in TAGS[name] if t != 'features'
+                          ) + ('vision',)
+
+
 @_register('stack_2_bricks_features', 'features', 'hard')
 def stack_2_bricks(random=None, batch_size=None):
   task, m = _build(props=(_brick_xml(name='brick0'),
@@ -260,3 +297,6 @@ def stack_2_bricks(random=None, batch_size=None):
 
   task.set_reward(reward)
   return _env(task, batch_size, random)
+
+
+_register_vision_variants()

@@ -21,6 +21,10 @@ import jax  # noqa: E402
 # override JAX_PLATFORMS; pin the platform programmatically as well.
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+# persistent executable cache: identical HLO (e.g. the second env build
+# in determinism tests, or battery re-runs) skips the XLA:CPU compile
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_tests')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
 
 SUITE_DIR = '/root/reference/dm_control/suite'
 

@@ -85,3 +85,20 @@ def test_fixed_camera_select_consistent_with_segmentation():
   cy, cx = 16, 16
   body, geom, _ = render.select(m, d, (0.5, 0.5), 33, 33, camera=camera)
   assert int(geom) == int(seg[cy, cx])
+
+
+def test_mesh_geoms_render_and_raycast():
+  """Mesh geoms trace their convex hulls (jaco arm is visible)."""
+  import jax.numpy as jnp
+  from dm_control_tpu.suite import common
+  m = engine.load_model(common.model_path('jaco_j2s7s300_position.xml'))
+  d = forward.forward(m, forward.make_data(m))
+  cam = render.MovableCamera(m, 32, 48, lookat=(0, 0, 0.3), distance=2.0,
+                             azimuth=45, elevation=-25)
+  seg = np.asarray(cam.render(d, segmentation=True))
+  mesh_geoms = [g for g in range(m.ngeom) if int(m.geom_type[g]) == 7]
+  assert any((seg == g).any() for g in mesh_geoms)
+  # a ray aimed at the arm base from above must hit at finite distance
+  t = render.raycast(m, d, jnp.asarray([0.0, 0.0, 2.0]),
+                     jnp.asarray([0.0, 0.0, -1.0]))
+  assert 0 < float(t) < 2.5

@@ -25,3 +25,20 @@ def test_task_runs(name):
     assert np.isfinite(ts.reward)
     for v in ts.observation.values():
       assert np.all(np.isfinite(v))
+
+
+def test_vision_variant_has_pixels():
+  env = manipulation.load('reach_site_vision', seed=0)
+  ts = env.reset()
+  px = ts.observation['pixels']
+  assert px.shape == (48, 64, 3)
+  assert float(px.std()) > 0.01
+  assert 'arm_pos' in ts.observation
+  ts = env.step(np.zeros(env.action_spec().shape))
+  assert np.isfinite(ts.reward)
+
+
+def test_vision_registry_tags():
+  vis = manipulation.get_environments_by_tag('vision')
+  assert len(vis) == 5
+  assert all(v.endswith('_vision') for v in vis)

@@ -14,15 +14,18 @@ def _uniform_policy(spec, rng):
   return lambda: rng.uniform(lo, hi)
 
 
-@pytest.mark.parametrize('domain,task', [
-    ('pendulum', 'swingup'), ('cartpole', 'swingup'),
-    ('cheetah', 'run'), ('walker', 'walk'), ('hopper', 'hop'),
-    ('finger', 'spin'), ('reacher', 'easy'), ('humanoid', 'stand'),
-    ('quadruped', 'escape'), ('dog', 'walk'),
-    ('jaco', 'relative_position_reacher_7DOF'),
-])
+# every registered task; heavyweight models get shorter horizons (the
+# invariant is bit-equality, not chaos tolerance — length adds little)
+_SLOW = {'dog', 'humanoid_CMU'}
+_ALL_TASKS = sorted(suite.ALL_TASKS)
+
+
+@pytest.mark.parametrize('domain,task', _ALL_TASKS)
 def test_environment_is_deterministic(domain, task):
-  """Same seed -> identical trajectories (reference suite_test.py:176)."""
+  """Same seed -> identical 100-step trajectories, rebuilt from scratch
+  (reference suite_test.py:176)."""
+  n_steps = 20 if domain in _SLOW else 100
+
   def trajectory(seed):
     env = suite.load(domain, task, task_kwargs={'random': seed})
     spec = env.action_spec()
@@ -30,8 +33,10 @@ def test_environment_is_deterministic(domain, task):
     policy = _uniform_policy(spec, rng)
     ts = env.reset()
     rewards, obs = [], []
-    for _ in range(5):
+    for _ in range(n_steps):
       ts = env.step(policy())
+      if ts.reward is None:   # auto-restart after divergence/limit
+        break
       rewards.append(ts.reward)
       obs.append(np.concatenate([np.ravel(v)
                                  for v in ts.observation.values()]))
