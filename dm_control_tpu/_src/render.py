@@ -414,8 +414,12 @@ def render(m: Model, d: Data, height: int = 64, width: int = 64,
   best_rgb = jnp.zeros((n_ray, 3), dtype)
   best_id = jnp.full((n_ray,), -1, jnp.int32)
 
-  rgba = jnp.asarray(m.geom_rgba if m.geom_rgba is not None
-                     else np.full((m.ngeom, 4), 0.5), dtype)
+  # model_var override lets reward visualization recolor geoms per step
+  from dm_control_tpu._src import smooth
+  if m.geom_rgba is not None:
+    rgba = smooth.mparam(m, d, 'geom_rgba').astype(dtype)
+  else:
+    rgba = jnp.full((m.ngeom, 4), 0.5, dtype)
 
   for g in range(m.ngeom):
     gtype = GeomType(int(m.geom_type[g]))

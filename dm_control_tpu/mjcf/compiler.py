@@ -661,6 +661,7 @@ class MJCFCompiler:
         conaffinity=int(a.get('conaffinity', '1')),
         condim=int(a.get('condim', '3')),
         priority=int(a.get('priority', '0')),
+        material=a.get('material', ''),
         friction=friction, mass=mass, density=density,
         margin=float(a.get('margin', '0')),
         gap=float(a.get('gap', '0')),
@@ -1216,6 +1217,10 @@ class MJCFCompiler:
          for g in b.geoms])
     m.geom_rgba = (np.stack([g['rgba'] for g in b.geoms])
                    if ngeom else np.zeros((0, 4)))
+    # material metadata for reward visualization (reference
+    # suite/base.py:100-112 blends self/effector/target materials)
+    m.geom_material = [g.get('material', '') for g in b.geoms]
+    m.mat_rgba_by_name = dict(getattr(self, '_materials', {}))
 
     # --- body mass properties
     self._compute_inertia(m)

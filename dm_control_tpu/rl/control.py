@@ -125,12 +125,20 @@ class Environment(dm_env.Environment):
 
   # -- dm_env interface ----------------------------------------------------
 
+  def set_reward_visualizer(self, fn):
+    """fn(data, reward) -> data, applied after every step (the role of
+    reference suite/base.py:83-112 _set_reward_colors: blending
+    self/effector/target material colors into the rendered scene)."""
+    self._reward_viz = jax.jit(fn) if fn is not None else None
+
   def reset(self) -> dm_env.TimeStep:
     key = jax.random.fold_in(self._base_key, self._episode_count)
     self._episode_count += 1
     self._step_count = 0
     d = self._reset_fn(key)
     d = self._forward_fn(d)
+    if getattr(self, '_reward_viz', None) is not None:
+      d = self._reward_viz(d, jnp.zeros((), d.qpos.dtype))
     self._data = d
     obs = self._observation()
     return dm_env.TimeStep(dm_env.StepType.FIRST, None, None, obs)
@@ -150,6 +158,9 @@ class Environment(dm_env.Environment):
     self._step_count += 1
 
     reward = float(self._reward_fn(d))
+    if getattr(self, '_reward_viz', None) is not None:
+      d = self._reward_viz(d, jnp.asarray(reward, d.qpos.dtype))
+      self._data = d
     obs = self._observation()
 
     episode_over = self._step_count >= self._step_limit

@@ -210,3 +210,34 @@ def test_divergence_flag_and_auto_reset():
   assert float(discount[0]) == 0.0 and float(discount[1]) == 1.0
   # lane 0 was re-initialized to a finite state
   assert np.isfinite(np.asarray(state.data.qpos[0])).all()
+
+
+def test_visualize_reward_recolors_geoms():
+  """suite.load(visualize_reward=True) blends self/effector/target geom
+  colors by reward^4 (reference suite/base.py:100-112,
+  suite_test.py:206)."""
+  import numpy as np
+  from dm_control_tpu import suite
+  from dm_control_tpu._src import smooth
+
+  env = suite.load('cartpole', 'balance', task_kwargs={'random': 0},
+                   visualize_reward=True)
+  m = env.task.model
+  self_geoms = [g for g, n in enumerate(m.geom_material) if n == 'self']
+  assert self_geoms, 'cartpole must have self-material geoms'
+  ts = env.reset()
+  d0 = env.physics
+  assert 'geom_rgba' in (d0.model_var or {})
+  rgba0 = np.asarray(smooth.mparam(m, d0, 'geom_rgba'))[self_geoms]
+  # balance starts near upright -> reward ~1 -> colors near highlight
+  env.step(np.zeros(env.action_spec().shape))
+  d1 = env.physics
+  rgba1 = np.asarray(smooth.mparam(m, d1, 'geom_rgba'))[self_geoms]
+  hl = m.mat_rgba_by_name['self_highlight']
+  assert np.abs(rgba1 - hl).max() < 0.2, rgba1
+  # reset color (reward 0 at episode start) differs from highlight
+  assert np.abs(rgba0 - rgba1).max() > 0.1
+  # plain load leaves colors static
+  env2 = suite.load('cartpole', 'balance', task_kwargs={'random': 0})
+  env2.reset()
+  assert 'geom_rgba' not in (env2.physics.model_var or {})
