@@ -24,9 +24,26 @@ import time
 import jax
 
 # persistent compile cache: the remote TPU compile helper costs 1-3 min per
-# program; caching makes reruns (and the driver's round-end run) fast
-os.makedirs('/root/.cache/jax_bench', exist_ok=True)
-jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_bench')
+# program; caching makes reruns (and the driver's round-end run) fast.
+# Fingerprinted by host CPU flags: XLA AOT blobs from a different host are
+# loaded with only a warning and can SIGABRT or mis-execute.
+import hashlib
+
+
+def _host_fingerprint() -> str:
+  try:
+    with open('/proc/cpuinfo') as f:
+      for line in f:
+        if line.startswith('flags'):
+          return hashlib.sha256(line.encode()).hexdigest()[:12]
+  except OSError:
+    pass
+  return 'unknown'
+
+
+_cache_dir = f'/root/.cache/jax_bench_{_host_fingerprint()}'
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', _cache_dir)
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 import jax.numpy as jnp
 
@@ -66,6 +83,16 @@ def main():
   key = jax.random.PRNGKey(0)
   detail = {}
 
+  only = os.environ.get('BENCH_ONLY')
+  if only:  # helper mode (used for the pallas on/off delta subprocess)
+    out = {}
+    for i, spec in enumerate(only.split(',')):
+      d, t = spec.split('-', 1)
+      out[spec] = round(bench_task(d, t, agg_batch, n_steps,
+                                   jax.random.fold_in(key, 1000 + i)))
+    print(json.dumps(out))
+    return
+
   total = 0.0
   for i, (d, t) in enumerate(AGG16):
     t0 = time.time()
@@ -100,6 +127,28 @@ def main():
       c4 += bench_task(d, t, 8192, max(n_steps // 2, 50),
                        jax.random.fold_in(key, 200 + j))
     detail['config4_large@8192'] = round(c4)
+
+    # pallas kernel on/off delta (VERDICT r1 item 9): re-run two contact
+    # tasks with the kernel disabled in a fresh process (the dispatch flag
+    # is read at trace time, so a subprocess guarantees a clean trace)
+    if jax.default_backend() == 'tpu':
+      import subprocess
+      env = dict(os.environ, DMC_TPU_DISABLE_PALLAS='1',
+                 BENCH_ONLY='cheetah-run,humanoid-run',
+                 BENCH_STEPS=str(n_steps))
+      try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=3600, check=True)
+        off = json.loads(out.stdout.strip().splitlines()[-1])
+        for k, v in off.items():
+          detail[f'{k}@{agg_batch}_pallas_off'] = v
+          on = detail.get(f'{k}@{agg_batch}')
+          if on and v:
+            detail[f'{k}_pallas_speedup'] = round(on / v, 2)
+      except Exception as e:
+        print(f'# pallas-off delta skipped: {type(e).__name__}: {e}',
+              file=sys.stderr)
 
   target = 1_000_000.0
   print(json.dumps({

@@ -219,8 +219,8 @@ def _noslip(m: Model, lay: efc.Layout, d: Data, x, force):
 
 def _get_core(m: Model, lay: efc.Layout, niter: int, ls_iter: int):
   """Per-layout solver core: XLA while-loop for a single env; when vmapped
-  on TPU (and the model has no elliptic contacts), dispatches the whole
-  batch to the Pallas VMEM-resident kernel."""
+  on TPU, dispatches the whole batch to the Pallas VMEM-resident kernel
+  (elliptic cones included) whenever the tile fits the VMEM budget."""
   key = ('core', niter, ls_iter)
   cached = lay._cache.get(key)
   if cached is not None:
@@ -236,6 +236,11 @@ def _get_core(m: Model, lay: efc.Layout, niter: int, ls_iter: int):
                            lay=lay, niter=niter, ls_iter=ls_iter, tol=tol,
                            meaninertia=meaninertia)
 
+  from dm_control_tpu.ops import newton_kernel
+  ncg = sum(int(v[0].shape[0]) for v in lay.ell_groups.values())
+  fits = (newton_kernel.vmem_estimate(lay.nefc, nv, ncg)
+          <= newton_kernel.VMEM_BUDGET)
+
   @jax.custom_batching.custom_vmap
   def core(J, M, aref, d_, fl, active, a, warm):
     return xla_core(J, M, aref, d_, fl, active, a, warm)
@@ -248,12 +253,12 @@ def _get_core(m: Model, lay: efc.Layout, niter: int, ls_iter: int):
       if not batched:
         args[i] = jnp.broadcast_to(arg[None], (axis_size,) + arg.shape)
     J, M, aref, d_, fl, active, a, warm = args
-    if (jax.default_backend() == 'tpu' and nv <= 24
-        and not lay.has_elliptic):
-      from dm_control_tpu.ops import newton_kernel
+    import os
+    if (jax.default_backend() == 'tpu' and fits
+        and os.environ.get('DMC_TPU_DISABLE_PALLAS') != '1'):
       x, force = newton_kernel.newton_solve_batched(
-          J, M, aref, d_, fl, active, a, lay.types, min(niter, 16),
-          8)
+          J, M, aref, d_, fl, active, a, warm, lay=lay, niter=niter,
+          ls_iter=ls_iter, tol=tol, meaninertia=meaninertia)
     else:
       x, force = jax.vmap(xla_core)(J, M, aref, d_, fl, active, a, warm)
     return (x, force), (True, True)

@@ -22,8 +22,28 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 # persistent executable cache: identical HLO (e.g. the second env build
-# in determinism tests, or battery re-runs) skips the XLA:CPU compile
-jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_tests')
+# in determinism tests, or battery re-runs) skips the XLA:CPU compile.
+# The cache dir is fingerprinted by host CPU flags: XLA:CPU AOT blobs are
+# machine-specific, but the loader only WARNS on a feature mismatch and
+# then executes them anyway - a cache written on a previous session's
+# host (different avx512/prefer-no-scatter set) caused SIGABRT worker
+# crashes and silently wrong numerics in the battery.
+import hashlib  # noqa: E402
+
+
+def _host_fingerprint() -> str:
+  try:
+    with open('/proc/cpuinfo') as f:
+      for line in f:
+        if line.startswith('flags'):
+          return hashlib.sha256(line.encode()).hexdigest()[:12]
+  except OSError:
+    pass
+  return 'unknown'
+
+
+jax.config.update('jax_compilation_cache_dir',
+                  f'/root/.cache/jax_tests_{_host_fingerprint()}')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
 
 SUITE_DIR = '/root/reference/dm_control/suite'
@@ -48,5 +68,7 @@ def _bound_jax_compile_cache():
   per-process compile state bounded (tests are also spread across xdist
   workers per-file for the same reason)."""
   yield
-  if _rss_gb() > 20.0:
+  # 6 workers x 20 GB was brushing against the 125 GB box under the full
+  # battery; keep total jit-state well below the memory ceiling
+  if _rss_gb() > 8.0:
     jax.clear_caches()

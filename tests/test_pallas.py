@@ -1,7 +1,13 @@
-"""Pallas Newton kernel equivalence vs the XLA solver core.
+"""Pallas Newton-kernel equivalence vs the XLA solver core.
 
-Runs only when a TPU is available (the kernel is TPU-only); the CPU
-battery covers the XLA path against the MuJoCo oracle.
+Two tiers:
+  * interpret mode (always runs, CPU battery, float64): the kernel's
+    jaxpr is executed by XLA directly, so the kernel's MATH is proven
+    equivalent to the XLA core on every battery run - including the
+    elliptic-cone path (finger/manipulator) and the large-nv path
+    (humanoid nv=27, quadruped nv=22) that the round-1 kernel excluded.
+  * real TPU (gated): the same comparison through Mosaic compilation at
+    float32, asserting the VERDICT-mandated <=1e-3 agreement.
 """
 
 import numpy as np
@@ -10,53 +16,95 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+MODELS = [
+    ('cheetah', 'run'),        # pyramidal contacts, nv=9
+    ('finger', 'spin'),        # elliptic cone, iterations=200
+    ('manipulator', 'bring_ball'),  # elliptic, nefc=530
+    ('humanoid', 'run'),       # nv=27 (above the round-1 nv<=24 cap)
+    ('quadruped', 'walk'),     # nv=22, nefc=306
+]
+
 
 def _tpu_available():
   try:
-    import jax.extend.backend
     return any(d.platform == 'tpu' for d in jax.devices())
   except Exception:
     return False
 
 
-pytestmark = pytest.mark.skipif(
-    not _tpu_available(), reason='requires TPU (kernel is TPU-only)')
-
-
-@pytest.mark.parametrize('domain,task_name', [
-    ('cheetah', 'run'), ('walker', 'walk'),
-])
-def test_kernel_matches_xla_core(domain, task_name):
+def _solve_both(domain, task_name, batch, interpret):
   from dm_control_tpu import suite
+  from dm_control_tpu._src import efc
   from dm_control_tpu._src import forward as fwd
   from dm_control_tpu._src import solver
   from dm_control_tpu.ops import newton_kernel
 
   task = suite.build_task(domain, task_name)
   m = task.model
-  keys = jax.random.split(jax.random.PRNGKey(0), 128)
+  lay = efc.layout(m)
+  keys = jax.random.split(jax.random.PRNGKey(0), batch)
 
   def init_one(k):
     d = fwd.make_data(m)
-    qpos = d.qpos.at[2:].add(0.1 * jax.random.normal(k, (m.nq - 2,)))
+    qpos = d.qpos + 0.05 * jax.random.normal(k, (m.nq,), d.qpos.dtype)
     return fwd.forward(m, d.replace(qpos=qpos))
 
   db = jax.jit(jax.vmap(init_one))(keys)
-  types = solver.row_types(m)
+  niter = max(int(m.opt.iterations), 1)
+  tol = float(m.opt.tolerance)
+  mi = float(getattr(m, 'stat_meaninertia', 1.0) or 1.0)
 
   def xla(d):
     return solver._solve_core_xla(
         d.efc_J, d.qM, d.efc_aref, d.efc_D, d.efc_frictionloss,
-        d.efc_active.astype(d.qpos.dtype), d.qacc_smooth,
-        types_np=types, niter=10, ls_iter=8)
+        d.efc_active.astype(d.qpos.dtype), d.qacc_smooth, d.qacc_smooth,
+        lay=lay, niter=niter, ls_iter=12, tol=tol, meaninertia=mi)
 
   x_ref, f_ref = jax.jit(jax.vmap(xla))(db)
-  x_pal, f_pal = jax.jit(lambda d: newton_kernel.newton_solve_batched(
-      d.efc_J, d.qM, d.efc_aref, d.efc_D, d.efc_frictionloss,
-      d.efc_active.astype(d.qpos.dtype), d.qacc_smooth,
-      types, 10, 8))(db)
+  x_pal, f_pal = newton_kernel.newton_solve_batched(
+      db.efc_J, db.qM, db.efc_aref, db.efc_D, db.efc_frictionloss,
+      db.efc_active.astype(db.qpos.dtype), db.qacc_smooth,
+      db.qacc_smooth, lay=lay, niter=niter, ls_iter=12, tol=tol,
+      meaninertia=mi, interpret=interpret)
+  return map(np.asarray, (x_ref, f_ref, x_pal, f_pal))
 
-  # same optimum up to f32 reduction-order noise
-  scale = np.maximum(1.0, np.abs(np.asarray(x_ref)))
-  rel = np.abs(np.asarray(x_ref) - np.asarray(x_pal)) / scale
-  assert rel.max() < 5e-2, f'qacc rel err {rel.max()}'
+
+@pytest.mark.parametrize('domain,task_name', MODELS)
+def test_kernel_matches_xla_interpret(domain, task_name):
+  """Interpret-mode equivalence at float64: same optimum to ~1e-6."""
+  x_ref, f_ref, x_pal, f_pal = _solve_both(domain, task_name, 16,
+                                           interpret=True)
+  # both implementations stop at opt.tolerance, so their iterates can
+  # differ by ~the solver tolerance even though the optimum is shared;
+  # rtol=0 (assert_allclose's default rtol=1e-7 is below that floor)
+  scale = np.maximum(1.0, np.abs(x_ref))
+  np.testing.assert_allclose(x_pal / scale, x_ref / scale, rtol=0,
+                             atol=1e-5)
+  fscale = np.maximum(1.0, np.abs(f_ref))
+  np.testing.assert_allclose(f_pal / fscale, f_ref / fscale, rtol=0,
+                             atol=1e-5)
+
+
+@pytest.mark.skipif(not _tpu_available(), reason='requires TPU')
+@pytest.mark.parametrize('domain,task_name', MODELS)
+def test_kernel_matches_xla_tpu(domain, task_name):
+  """Mosaic-compiled equivalence at float32: <=1e-3 (VERDICT target)."""
+  x_ref, f_ref, x_pal, f_pal = _solve_both(domain, task_name, 128,
+                                           interpret=False)
+  scale = np.maximum(1.0, np.abs(x_ref))
+  np.testing.assert_allclose(x_pal / scale, x_ref / scale, atol=1e-3)
+
+
+def test_vmem_gate_excludes_oversize_models():
+  """dog/humanoid_CMU/stacker exceed the VMEM budget and must fall back
+  to the XLA path; the AGG16 bench set must all fit."""
+  from dm_control_tpu.ops import newton_kernel
+  # (nefc, nv, ncg) measured from the built layouts
+  fits = newton_kernel.vmem_estimate
+  budget = newton_kernel.VMEM_BUDGET
+  assert fits(222, 9, 0) <= budget       # cheetah
+  assert fits(243, 27, 0) <= budget      # humanoid
+  assert fits(306, 22, 0) <= budget      # quadruped
+  assert fits(105, 3, 34) <= budget      # finger (elliptic)
+  assert fits(530, 11, 174) <= budget    # manipulator (elliptic)
+  assert fits(1912, 79, 0) > budget      # dog: XLA path
