@@ -150,11 +150,75 @@ def rmat_to_euler(rmat, ordering: str = 'ZYX'):
     x = jnp.arctan2(sx, cx)
     y = jnp.arctan2(-r[..., 2, 0], r[..., 2, 2])
     return jnp.stack([z, x, y], -1)
+  # the remaining four orderings mirror the reference's extraction rules
+  # (transformations.py:93-238) in their non-degenerate branch; gimbal
+  # poles resolve via arctan2 rather than the reference's special-cased
+  # warnings (jit-safe, same values away from the poles)
+  if ordering == 'XYX':
+    y = jnp.arccos(jnp.clip(r[..., 0, 0], -1.0, 1.0))
+    x0 = jnp.arctan2(r[..., 1, 0], -r[..., 2, 0])
+    x1 = jnp.arctan2(r[..., 0, 1], r[..., 0, 2])
+    return jnp.stack([x0, y, x1], -1)
+  if ordering == 'XZY':
+    y = jnp.arctan2(r[..., 0, 2], r[..., 0, 0])
+    z = -jnp.arcsin(jnp.clip(r[..., 0, 1], -1.0, 1.0))
+    x = jnp.arctan2(r[..., 2, 1], r[..., 1, 1])
+    return jnp.stack([x, z, y], -1)
+  if ordering == 'YZX':
+    x = -jnp.arctan2(r[..., 1, 2], r[..., 1, 1])
+    z = jnp.arcsin(jnp.clip(r[..., 1, 0], -1.0, 1.0))
+    y = -jnp.arctan2(r[..., 2, 0], r[..., 0, 0])
+    return jnp.stack([y, z, x], -1)
+  if ordering == 'YXZ':
+    z = jnp.arctan2(r[..., 1, 0], r[..., 1, 1])
+    x = -jnp.arcsin(jnp.clip(r[..., 1, 2], -1.0, 1.0))
+    y = jnp.arctan2(r[..., 0, 2], r[..., 2, 2])
+    return jnp.stack([y, x, z], -1)
   raise NotImplementedError(f'rmat_to_euler ordering {ordering}')
 
 
 def quat_to_euler(q, ordering: str = 'ZYX'):
   return rmat_to_euler(_math.quat_to_mat(q), ordering)
+
+
+def quat_log(q, tol: float = 1e-10):
+  """Quaternion logarithm (reference transformations.py:371 semantics)."""
+  q_norm = jnp.sqrt(jnp.maximum(jnp.sum(q * q, axis=-1, keepdims=True),
+                                tol))
+  a = q[..., 0:1]
+  v = q[..., 1:]
+  v_norm = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True),
+                                tol))
+  angle = jnp.arccos(jnp.clip(a / q_norm, -1.0, 1.0))
+  return jnp.concatenate([jnp.log(q_norm), v / v_norm * angle], axis=-1)
+
+
+def _embed4(r3, full: bool):
+  if not full:
+    return r3
+  out = jnp.zeros(r3.shape[:-2] + (4, 4), r3.dtype)
+  out = out.at[..., :3, :3].set(r3)
+  return out.at[..., 3, 3].set(1.0)
+
+
+def rotation_x_axis(theta, full: bool = False):
+  """Rotation about X; full=True embeds into a 4x4 homogeneous matrix."""
+  return _embed4(_axis_rot('X', jnp.asarray(theta)), full)
+
+
+def rotation_y_axis(theta, full: bool = False):
+  return _embed4(_axis_rot('Y', jnp.asarray(theta)), full)
+
+
+def rotation_z_axis(theta, full: bool = False):
+  return _embed4(_axis_rot('Z', jnp.asarray(theta)), full)
+
+
+def rotation_matrix_2d(theta):
+  ct = jnp.cos(theta)
+  st = jnp.sin(theta)
+  return jnp.stack([jnp.stack([ct, -st], -1),
+                    jnp.stack([st, ct], -1)], -2)
 
 
 def pos_quat_to_hmat(pos, quat):

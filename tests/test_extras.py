@@ -72,6 +72,42 @@ def test_transformations_roundtrip():
   assert float(tr.quat_dist(q, q)) < 1e-9
 
 
+def test_transformations_all_orderings_vs_oracle():
+  """All 7 Euler orderings match the reference implementation away from
+  the gimbal poles (reference transformations.py:66-312)."""
+  ref = pytest.importorskip('dm_control.utils.transformations')
+  rng = np.random.RandomState(1)
+  for ordering in ('XYZ', 'XYX', 'XZY', 'ZYX', 'YZX', 'ZXY', 'YXZ'):
+    for _ in range(20):
+      e = rng.uniform(-1.2, 1.2, 3)
+      if ordering == 'XYX':
+        e[1] = rng.uniform(0.1, 2.9)  # proper-Euler mid angle in (0, pi)
+      r_ref = ref.euler_to_rmat(e, ordering=ordering)
+      r_ours = np.asarray(tr.euler_to_rmat(jnp.asarray(e), ordering))
+      np.testing.assert_allclose(r_ours, r_ref, atol=1e-9,
+                                 err_msg=f'euler_to_rmat {ordering}')
+      e_ref = ref.rmat_to_euler(r_ref, ordering=ordering)
+      e_ours = np.asarray(tr.rmat_to_euler(jnp.asarray(r_ref), ordering))
+      np.testing.assert_allclose(e_ours, e_ref, atol=1e-9,
+                                 err_msg=f'rmat_to_euler {ordering}')
+  # quat_log against the reference on random unit quaternions
+  for _ in range(10):
+    q = rng.randn(4)
+    q /= np.linalg.norm(q)
+    np.testing.assert_allclose(np.asarray(tr.quat_log(jnp.asarray(q))),
+                               ref.quat_log(q), atol=1e-7)
+  # rotation axis helpers, 3x3 and embedded 4x4
+  th = 0.7
+  np.testing.assert_allclose(np.asarray(tr.rotation_z_axis(th, True)),
+                             ref.rotation_z_axis(th, full=True), atol=1e-9)
+  np.testing.assert_allclose(np.asarray(tr.rotation_x_axis(th)),
+                             ref.rotation_x_axis(th), atol=1e-9)
+  np.testing.assert_allclose(np.asarray(tr.rotation_y_axis(th)),
+                             ref.rotation_y_axis(th), atol=1e-9)
+  np.testing.assert_allclose(np.asarray(tr.rotation_matrix_2d(th)),
+                             ref.rotation_matrix_2d(th), atol=1e-12)
+
+
 def test_batched_runner_matches_single_env_physics():
   """Lane semantics: batched step == single-env step for identical states."""
   task = suite.build_task('pendulum', 'swingup')
