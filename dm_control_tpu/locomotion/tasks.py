@@ -31,10 +31,13 @@ def _add_target_geom(arena):
   return arena
 
 
-def go_to_target(batch_size=None, time_limit=25.0, random=None):
+def go_to_target(batch_size=None, time_limit=25.0, random=None,
+                 walker=None):
+  """walker: any walker entity with a 'root' freejoint on its root frame
+  (Ant by default; also walkers.Rat, walkers.CMUHumanoid)."""
   arena = _add_target_geom(arenas.floor(size=(8.0, 8.0)))
   # rebuild with the target in place
-  walker = walkers.Ant()
+  walker = walker if walker is not None else walkers.Ant()
   task = ComposerTask(arena=arena, control_timestep=0.025)
   task.attach(walker)
   m = task.compile()
@@ -42,7 +45,11 @@ def go_to_target(batch_size=None, time_limit=25.0, random=None):
   for name, spec in obs.items():
     task.add_observable(f'walker/{name}', spec)
   target_g = m.name2id('geom', 'target')
-  root_q = int(m.jnt_qposadr[m.name2id('joint', 'walker/root')])
+  free_root = 'walker/root' in m.names['joint']
+  if free_root:
+    root_q = int(m.jnt_qposadr[m.name2id('joint', 'walker/root')])
+  else:  # planar walkers (jumping ball): root_x/root_y slide pair
+    root_q = int(m.jnt_qposadr[m.name2id('joint', 'walker/root_x')])
 
   def target_pos(m_, d):
     return (d.model_var or {}).get(
@@ -57,11 +64,12 @@ def go_to_target(batch_size=None, time_limit=25.0, random=None):
     txy = jax.random.uniform(k1, (2,), dtype, -6.0, 6.0)
     geom_pos = jnp.asarray(m_.geom_pos, dtype).at[target_g, :2].set(txy)
     wxy = jax.random.uniform(k2, (2,), dtype, -6.0, 6.0)
-    yaw = jax.random.uniform(k3, (), dtype, 0, 2 * np.pi)
-    quat = jnp.stack([jnp.cos(yaw / 2), jnp.zeros_like(yaw),
-                      jnp.zeros_like(yaw), jnp.sin(yaw / 2)])
     qpos = d.qpos.at[root_q:root_q + 2].set(wxy)
-    qpos = jax.lax.dynamic_update_slice(qpos, quat, (root_q + 3,))
+    if free_root:  # random yaw only makes sense for a free root
+      yaw = jax.random.uniform(k3, (), dtype, 0, 2 * np.pi)
+      quat = jnp.stack([jnp.cos(yaw / 2), jnp.zeros_like(yaw),
+                        jnp.zeros_like(yaw), jnp.sin(yaw / 2)])
+      qpos = jax.lax.dynamic_update_slice(qpos, quat, (root_q + 3,))
     mv = dict(d.model_var or {})
     mv['geom_pos'] = geom_pos
     return d.replace(qpos=qpos, model_var=mv)

@@ -7,6 +7,55 @@ import numpy as np
 from dm_control_tpu.locomotion import tasks
 
 
+def test_rat_walker_entity():
+  """Rodent walker: vendored model compiles, observables resolve and are
+  finite after forward + steps (reference rodent.py:244-330 set)."""
+  from dm_control_tpu._src import engine
+  from dm_control_tpu.composer.task import ComposerTask
+  from dm_control_tpu.locomotion import arenas, walkers
+  walker = walkers.Rat()
+  task = ComposerTask(arena=arenas.floor(size=(8.0, 8.0)),
+                      control_timestep=0.025)
+  task.attach(walker)
+  m = task.compile()
+  assert m.nv == 73  # 67 skeleton DoF + free root
+  obs, torso = walker.observables_for(m, 'walker')
+  for key in ('joints_pos', 'tendons_pos', 'tendons_vel', 'head_height',
+              'appendages_pos', 'sensors_touch', 'actuator_activation'):
+    assert key in obs
+  d = engine.build_forward(m)(engine.make_data(m))
+  for name, spec in obs.items():
+    assert np.isfinite(np.asarray(spec.fn(m, d))).all(), name
+  assert np.asarray(obs['appendages_pos'].fn(m, d)).shape == (15,)
+  step = engine.build_step(m)
+  for _ in range(3):
+    d = step(d.replace(ctrl=jnp.zeros(m.nu, d.qpos.dtype)))
+  assert bool(jnp.isfinite(d.qpos).all())
+
+
+def test_jumping_ball_walker_entity():
+  """Jumping-ball walker: planar slide root triplet (reference
+  jumping_ball.py:89-97), roll/steer/kick actuators step stably."""
+  from dm_control_tpu._src import engine
+  from dm_control_tpu.composer.task import ComposerTask
+  from dm_control_tpu.locomotion import arenas, walkers
+  walker = walkers.JumpingBallWithHead(marker_rgba=(0.1, 0.2, 0.9, 1.0))
+  task = ComposerTask(arena=arenas.floor(size=(4.0, 4.0)),
+                      control_timestep=0.025)
+  task.attach(walker)
+  m = task.compile()
+  for jn in ('walker/root_x', 'walker/root_y', 'walker/root_z'):
+    assert jn in m.names['joint']
+  obs, _ = walker.observables_for(m, 'walker')
+  d = engine.build_forward(m)(engine.make_data(m))
+  for name, spec in obs.items():
+    assert np.isfinite(np.asarray(spec.fn(m, d))).all(), name
+  step = engine.build_step(m)
+  for _ in range(5):
+    d = step(d.replace(ctrl=jnp.zeros(m.nu, d.qpos.dtype)))
+  assert bool(jnp.isfinite(d.qpos).all())
+
+
 def test_go_to_target_single():
   env = tasks.go_to_target(random=0)
   ts = env.reset()

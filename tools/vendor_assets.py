@@ -31,6 +31,25 @@ XMLS = [
 ]
 MESH_DIRS = ['dog_assets', 'common/kinova_meshes']
 
+# locomotion walker models vendored from outside the suite tree:
+# (absolute source path, destination name, tags to strip).  Skins and
+# textures are render-only decoration the analytic raytracer does not
+# consume; stripping them keeps the vendored models self-contained.
+EXTRA_XMLS = [
+    ('/root/reference/dm_control/locomotion/walkers/assets/rodent.xml',
+     'rodent.xml', ('skin',)),
+    ('/root/reference/dm_control/locomotion/walkers/assets/jumping_ball/'
+     'jumping_ball_with_head.xml',
+     'jumping_ball_with_head.xml', ('texture', 'material')),
+]
+
+
+def strip_tags(root, tags):
+  for parent in root.iter():
+    for child in list(parent):
+      if child.tag in tags:
+        parent.remove(child)
+
 
 def write_canonical(elem, f, depth=0):
   pad = '  ' * depth
@@ -65,6 +84,16 @@ def main():
     with open(out, 'w') as f:
       write_canonical(root, f)
     print('xml:', rel)
+
+  for path, name, tags in EXTRA_XMLS:
+    if not os.path.isfile(path):
+      print('skip (missing):', name)
+      continue
+    root = compiler_lib._parse_xml_file(path)
+    strip_tags(root, tags)
+    with open(os.path.join(dst, name), 'w') as f:
+      write_canonical(root, f)
+    print('xml:', name)
 
   for mdir in MESH_DIRS:
     sdir = os.path.join(src, mdir)
