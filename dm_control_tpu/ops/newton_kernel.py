@@ -122,7 +122,10 @@ def _make_kernel(st: _Static, nefc: int, nv: int, niter: int, ls_iter: int,
     return jnp.where(idx < j, x, 0.0)
 
   def set_row(x, j, v):
-    return jax.lax.dynamic_update_slice(x, v[None, :], (j, 0))
+    # j is always a static Python int; a masked select lowers on Mosaic
+    # (dynamic_update_slice inside a while_loop body does not)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(idx == j, v[None, :], x)
 
   def kernel(eq_ref, fr_ref, one_ref, s_ref, sn_ref, sf_ref, mu_ref,
              cp_ref, j_ref, m_ref, aref_ref, d_ref, fl_ref, act_ref,
@@ -289,7 +292,12 @@ def _make_kernel(st: _Static, nefc: int, nv: int, niter: int, ls_iter: int,
       return mmul(x - a) - jtmul(f)
 
     def newton_body(carry):
-      x, jar, prev_cost, it, done = carry
+      # carry holds only f32 tensors of rank >= 2 (plus the i32 scalar
+      # trip count): Mosaic cannot legalize scf.yield of i1 vectors or
+      # replicated 1-D lanes, so cost/done travel as (1, T) floats
+      x, jar, prev_cost2, it, done2 = carry
+      prev_cost = prev_cost2[0]
+      done = done2[0] > 0.5
       f, w, _, dq_e, p_row, m_row = forces_full(jar)
       grad = mmul(x - a) - jtmul(f)
       H = build_h(w + dq_e, p_row, m_row)
@@ -336,8 +344,9 @@ def _make_kernel(st: _Static, nefc: int, nv: int, niter: int, ls_iter: int,
       gradient = scale * jnp.sqrt(jnp.sum(grad_new * grad_new, axis=0))
       # NaN-robust (matches the XLA core): a diverged lane terminates
       keep = jnp.logical_and(improvement >= tol, gradient >= tol)
-      return x, jar, cost, it + 1, jnp.logical_or(done,
-                                                  jnp.logical_not(keep))
+      done_new = jnp.logical_or(done, jnp.logical_not(keep))
+      return (x, jar, cost[None, :], it + 1,
+              done_new.astype(x.dtype)[None, :])
 
     # warmstart selection (reference semantics: better initial cost wins)
     jar_a = jmul(a) - aref
@@ -353,10 +362,12 @@ def _make_kernel(st: _Static, nefc: int, nv: int, niter: int, ls_iter: int,
         scale * jnp.sqrt(jnp.sum(g0 * g0, axis=0)) >= tol)
 
     def cond(carry):
-      _, _, _, it, done = carry
-      return jnp.logical_and(it < niter, jnp.logical_not(jnp.all(done)))
+      _, _, _, it, done2 = carry
+      return jnp.logical_and(it < niter,
+                             jnp.logical_not(jnp.all(done2[0] > 0.5)))
 
-    init = (x0, jar0, cost0, jnp.zeros((), jnp.int32), done0)
+    init = (x0, jar0, cost0[None, :], jnp.zeros((), jnp.int32),
+            done0.astype(x0.dtype)[None, :])
     x, jar, _, _, _ = jax.lax.while_loop(cond, newton_body, init)
 
     jar = jmul(x) - aref
