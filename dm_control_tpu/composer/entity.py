@@ -36,11 +36,34 @@ class Entity:
   mjcf_root: a <mujoco> element whose worldbody holds the fragment.
   observables: name -> ObservableSpec factory taking the final prefix
     (so index lookups can resolve prefixed names after compilation).
+
+  Lifecycle hooks — the functional analog of the reference's 7-callback
+  entity protocol (composer/entity.py:266-291).  Build-time hooks run on
+  the host; episode/step hooks are pure jax functions traced into the
+  environment's jitted step:
+
+    mjcf_hook(mjcf_root, random_state)         initialize_episode_mjcf:
+        mutate this entity's OWN fragment before (re)compilation; when
+        present the composer environment recompiles the model each
+        episode (reference environment.py:296-323).
+    after_compile_hook(model, prefix)          after_compile: host-side,
+        once per compilation.
+    init_hook(model, data, key, prefix)->Data  initialize_episode.
+    before_step_hook(m, d, key, prefix)->Data      before_step
+    before_substep_hook(m, d, key, prefix)->Data   before_substep
+    after_substep_hook(m, d, key, prefix)->Data    after_substep
+    after_step_hook(m, d, key, prefix)->Data       after_step
   """
   mjcf_root: ET.Element
   name: str = 'entity'
   observables: Dict[str, Callable] = dataclasses.field(default_factory=dict)
   init_hook: Optional[Callable] = None    # (model, data, key, prefix)->Data
+  mjcf_hook: Optional[Callable] = None
+  after_compile_hook: Optional[Callable] = None
+  before_step_hook: Optional[Callable] = None
+  before_substep_hook: Optional[Callable] = None
+  after_substep_hook: Optional[Callable] = None
+  after_step_hook: Optional[Callable] = None
 
   @classmethod
   def from_xml_string(cls, xml: str, name: str = 'entity', **kw):

@@ -26,21 +26,34 @@ class Environment(dm_env.Environment):
   (reference composer/environment.py:363-373); observations are read from
   the delay buffers at control-step boundaries."""
 
+  MAX_RESET_ATTEMPTS = 4  # ref composer/environment.py:296-323
+
   def __init__(self, task: ComposerTask, time_limit: float = float('inf'),
                random: Optional[int] = None):
     self._task = task
-    m = task.compile()
-    self._model = m
-    dt = m.opt.timestep
-    ct = task.control_timestep or dt
-    self._n_sub_steps = max(1, int(round(ct / dt)))
     self._time_limit = time_limit
-    self._step_limit = (float('inf') if time_limit == float('inf')
-                        else time_limit / (dt * self._n_sub_steps))
     self._step_count = 0
     self._episode_count = 0
     seed = 0 if random is None else int(random)
     self._base_key = jax.random.PRNGKey(seed)
+    self._recompiles = task.has_mjcf_hooks
+    self._build(np.random.RandomState(seed))
+    self._carry = None
+
+  def _build(self, random_state):
+    """(Re)compile the task model and trace the step/reset graphs.
+    Called once at construction, and per episode when any entity has an
+    mjcf_hook (the reference recompiles physics each episode,
+    environment.py:296-323)."""
+    task = self._task
+    m = task.recompile(random_state) if self._recompiles \
+        else task.compile()
+    self._model = m
+    dt = m.opt.timestep
+    ct = task.control_timestep or dt
+    self._n_sub_steps = max(1, int(round(ct / dt)))
+    self._step_limit = (float('inf') if self._time_limit == float('inf')
+                        else self._time_limit / (dt * self._n_sub_steps))
 
     example = _forward.forward(m, _forward.make_data(m))
     self._pipeline = ObservationPipeline(m, task.observables, example)
@@ -48,20 +61,33 @@ class Environment(dm_env.Environment):
     step_fn = _engine.build_step(m)
     n_sub = self._n_sub_steps
     pipeline = self._pipeline
+    hooks = {stage: task.step_hooks(stage) for stage in
+             ('before_step', 'before_substep', 'after_substep',
+              'after_step')}
+
+    def run_hooks(stage, d, key):
+      for fn, prefix in hooks[stage]:
+        key, sub = jax.random.split(key)
+        d = fn(m, d, sub, prefix)
+      return d, key
 
     def control_step(carry, action):
       d, obs_state, substep, key = carry
       d = d.replace(ctrl=action)
+      d, key = run_hooks('before_step', d, key)
       # scan, not unroll: jaco-scale models take 40+ substeps per
       # control step and an unrolled graph compiles for minutes
       def substep_fn(c, _):
         d, obs_state, substep, key = c
+        d, key = run_hooks('before_substep', d, key)
         d = step_fn(d)
+        d, key = run_hooks('after_substep', d, key)
         key, sub = jax.random.split(key)
         obs_state = pipeline.update(obs_state, d, substep, sub)
         return (d, obs_state, substep + 1, key), None
       (d, obs_state, substep, key), _ = jax.lax.scan(
           substep_fn, (d, obs_state, substep, key), None, length=n_sub)
+      d, key = run_hooks('after_step', d, key)
       reward = task.get_reward(m, d)
       obs = pipeline.read(obs_state, substep)
       return (d, obs_state, substep, key), (obs, reward)
@@ -72,6 +98,7 @@ class Environment(dm_env.Environment):
       d = _forward.make_data(m)
       d = task.init_episode(m, d, key)
       d = _forward.forward(m, d)
+      d = _forward._check_divergence(m, d)
       obs_state = pipeline.init_state()
       substep = jnp.zeros((), jnp.int32)
       obs_state = pipeline.update(obs_state, d, substep, key)
@@ -79,13 +106,23 @@ class Environment(dm_env.Environment):
       return d, obs_state, obs
 
     self._reset_fn = jax.jit(reset_fn)
-    self._carry = None
 
   def reset(self):
     key = jax.random.fold_in(self._base_key, self._episode_count)
     self._episode_count += 1
     self._step_count = 0
-    d, obs_state, obs = self._reset_fn(key)
+    if self._recompiles:
+      self._build(np.random.RandomState(self._episode_count))
+    # retry failed episode inits (divergent initial state), as the
+    # reference retries on PhysicsError (environment.py:296-323)
+    for attempt in range(self.MAX_RESET_ATTEMPTS):
+      d, obs_state, obs = self._reset_fn(jax.random.fold_in(key, attempt))
+      if not bool(d.diverged):
+        break
+    else:
+      raise RuntimeError(
+          f'episode initialization diverged in all '
+          f'{self.MAX_RESET_ATTEMPTS} attempts')
     self._carry = (d, obs_state, jnp.ones((), jnp.int32),
                    jax.random.fold_in(key, 123))
     return dm_env.TimeStep(
@@ -170,6 +207,15 @@ class BatchedEnvironment:
     example = _forward.forward(m, _forward.make_data(m))
     pipeline = ObservationPipeline(m, task.observables, example)
     step_fn = _engine.build_step(m)
+    hooks = {stage: task.step_hooks(stage) for stage in
+             ('before_step', 'before_substep', 'after_substep',
+              'after_step')}
+
+    def run_hooks(stage, d, key):
+      for fn, prefix in hooks[stage]:
+        key, sub = jax.random.split(key)
+        d = fn(m, d, sub, prefix)
+      return d, key
 
     def reset_one(key):
       d = _forward.make_data(m)
@@ -183,14 +229,18 @@ class BatchedEnvironment:
     def step_one(carry, action):
       d, obs_state, substep, key = carry
       d = d.replace(ctrl=action)
+      d, key = run_hooks('before_step', d, key)
       def substep_fn(c, _):
         d, obs_state, substep, key = c
+        d, key = run_hooks('before_substep', d, key)
         d = step_fn(d)
+        d, key = run_hooks('after_substep', d, key)
         key, sub = jax.random.split(key)
         obs_state = pipeline.update(obs_state, d, substep, sub)
         return (d, obs_state, substep + 1, key), None
       (d, obs_state, substep, key), _ = jax.lax.scan(
           substep_fn, (d, obs_state, substep, key), None, length=n_sub)
+      d, key = run_hooks('after_step', d, key)
       reward = task.get_reward(m, d)
       term = task.get_termination(m, d)
       done = d.diverged if term is None else jnp.logical_or(

@@ -65,9 +65,38 @@ class ComposerTask:
 
   # -- compilation ---------------------------------------------------------
 
-  def compile(self) -> Model:
+  @property
+  def has_mjcf_hooks(self) -> bool:
+    """True when any entity varies its MJCF per episode, so the
+    environment must recompile each reset (ref environment.py:296)."""
+    return any(e.mjcf_hook is not None
+               for e, _ in [(self.arena, None)] + self._attachments)
+
+  def step_hooks(self, stage: str):
+    """[(fn, prefix)] for an in-graph stage: before_step,
+    before_substep, after_substep, after_step."""
+    out = []
+    for entity, kw in [(self.arena, {})] + self._attachments:
+      fn = getattr(entity, f'{stage}_hook')
+      if fn is not None:
+        prefix = (kw or {}).get('prefix') or (
+            entity.name if entity is not self.arena else None)
+        out.append((fn, prefix))
+    return out
+
+  def recompile(self, random_state=None) -> Model:
+    """Re-run mjcf hooks on every entity fragment and rebuild the
+    Model (per-episode MJCF variation, ref environment.py:296-323)."""
+    self._model = None
+    self._observables = {}
+    return self.compile(random_state)
+
+  def compile(self, random_state=None) -> Model:
     if self._model is not None:
       return self._model
+    for entity, _ in [(self.arena, None)] + self._attachments:
+      if entity.mjcf_hook is not None:
+        entity.mjcf_hook(entity.mjcf_root, random_state)
     root = copy.deepcopy(self.arena.mjcf_root)
     for entity, kw in self._attachments:
       attach(root, entity, **kw)
@@ -86,6 +115,11 @@ class ComposerTask:
             self._model, prefix)
     for oname, factory in self.arena.observables.items():
       self._observables[oname] = factory(self._model, None)
+    for entity, kw in [(self.arena, {})] + self._attachments:
+      if entity.after_compile_hook is not None:
+        prefix = (kw or {}).get('prefix') or (
+            entity.name if entity is not self.arena else None)
+        entity.after_compile_hook(self._model, prefix)
     return self._model
 
   @property

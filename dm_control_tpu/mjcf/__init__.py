@@ -10,3 +10,4 @@ dm_control/mujoco/index.py:16-33).
 """
 
 from dm_control_tpu.mjcf.compiler import compile_path, compile_string  # noqa: F401
+from dm_control_tpu.mjcf.physics import Binding, bind  # noqa: F401
