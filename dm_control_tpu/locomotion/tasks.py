@@ -179,6 +179,104 @@ def escape(radius=8.0, depth=2.0, batch_size=None, time_limit=20.0,
   return Environment(task, time_limit=time_limit, random=random)
 
 
+def two_touch(batch_size=None, time_limit=20.0, random=None, walker=None,
+              touch_interval=0.8, interval_tolerance=0.1,
+              failure_timeout=1.2, touch_reward=0.2, timing_reward=1.0,
+              aliveness_reward=0.0, z_height=0.14, target_radius=0.1,
+              target_area=(0.3, 0.6)):
+  """Reach task: tap a target twice with a timed interval (reference
+  locomotion/tasks/reach.py TwoTouch, :37-370).  The reference's
+  5-state trial machine (PRE_TOUCH / TOUCHED_ONCE / TOUCHED_TWICE /
+  TOUCHED_TOO_SOON / NO_SECOND_TOUCH) runs in-graph: the state, the
+  state-entry time and this step's reward pulse ride Data.model_var, so
+  the task batches and auto-resets per lane.  Trials cycle within an
+  episode — a terminal state returns to PRE_TOUCH after
+  failure_timeout, as the reference cycles its target queue."""
+  from dm_control_tpu.locomotion import props
+  arena = arenas.floor(size=(2.0, 2.0))
+  walker = walker if walker is not None else walkers.Rat()
+  target = props.TargetSphere(radius=target_radius,
+                              height_above_ground=z_height, name='target')
+  target.install_hooks(['walker/hand_L', 'walker/hand_R'])
+  task = ComposerTask(arena=arena, control_timestep=0.03)
+  task.attach(walker)
+  task.attach(target)
+  m = task.compile()
+  obs, torso = walker.observables_for(m, 'walker')
+  for name, spec in obs.items():
+    task.add_observable(f'walker/{name}', spec)
+  target_g = m.name2id('geom', 'target/target')
+  root_q = int(m.jnt_qposadr[m.name2id('joint', 'walker/root')])
+
+  def target_pos(m_, d):
+    return (d.model_var or {}).get(
+        'geom_pos', jnp.asarray(m_.geom_pos, d.qpos.dtype))[target_g]
+
+  def tt_state(d):
+    return (d.model_var or {}).get(
+        'tt_state', jnp.zeros(3, d.qpos.dtype))
+
+  task.add_observable('target', ObservableSpec(
+      fn=lambda m_, d: target_pos(m_, d) - d.xpos[torso]))
+  task.add_observable('task_state', ObservableSpec(
+      fn=lambda m_, d: tt_state(d)[:2]))
+
+  def init_episode(m_, d, key):
+    k1, k2 = jax.random.split(key)
+    dtype = d.qpos.dtype
+    r = jax.random.uniform(k1, (), dtype, target_area[0], target_area[1])
+    theta = jax.random.uniform(k2, (), dtype, 0.0, 2 * np.pi)
+    txy = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)])
+    geom_pos = jnp.asarray(m_.geom_pos, dtype).at[target_g, :2].set(txy)
+    mv = dict(d.model_var or {})
+    mv['geom_pos'] = geom_pos
+    mv['tt_state'] = jnp.zeros(3, dtype)
+    return d.replace(model_var=mv, qpos=d.qpos.at[root_q + 2].set(
+        jnp.asarray(0.06, dtype)))
+
+  task.add_init_hook(init_episode)
+
+  def state_machine(m_, d, key, prefix):
+    """after_step: advance the two-touch trial machine.  tt_state =
+    [state, state-entry time, reward pulse this step]."""
+    mv = dict(d.model_var or {})
+    dtype = d.qpos.dtype
+    st = mv.get('tt_state', jnp.zeros(3, dtype))
+    state, t0 = st[0], st[1]
+    touch = target.touching(m_, d, 'target')
+    dt = d.time - t0
+    in_pre = state < 0.5
+    in_once = jnp.logical_and(state > 0.5, state < 1.5)
+    terminal = state > 1.5
+    to_once = jnp.logical_and(in_pre, touch)
+    to_twice = jnp.logical_and(
+        in_once, jnp.logical_and(
+            touch, jnp.abs(dt - touch_interval) <= interval_tolerance))
+    to_soon = jnp.logical_and(in_once, jnp.logical_and(
+        touch, dt < touch_interval - interval_tolerance))
+    to_nosecond = jnp.logical_and(in_once, jnp.logical_and(
+        jnp.logical_not(touch), dt > touch_interval + interval_tolerance))
+    trial_reset = jnp.logical_and(terminal, dt > failure_timeout)
+    new_state = jnp.where(to_once, 1.0, state)
+    new_state = jnp.where(to_twice, 2.0, new_state)
+    new_state = jnp.where(to_soon, 3.0, new_state)
+    new_state = jnp.where(to_nosecond, 4.0, new_state)
+    new_state = jnp.where(trial_reset, 0.0, new_state)
+    entered = jnp.logical_or(jnp.logical_or(to_once, to_twice),
+                             jnp.logical_or(to_soon, to_nosecond))
+    new_t0 = jnp.where(entered, d.time, t0)
+    pulse = (touch_reward * to_once.astype(dtype)
+             + timing_reward * to_twice.astype(dtype))
+    mv['tt_state'] = jnp.stack([new_state.astype(dtype), new_t0, pulse])
+    return d.replace(model_var=mv)
+
+  arena.after_step_hook = state_machine
+  task.set_reward(lambda m_, d: tt_state(d)[2] + aliveness_reward)
+  if batch_size:
+    return BatchedEnvironment(task, batch_size, time_limit=time_limit)
+  return Environment(task, time_limit=time_limit, random=random)
+
+
 def run_through_corridor(corridor='empty', target_velocity=3.0,
                          batch_size=None, time_limit=30.0, random=None):
   """RunThroughCorridor (reference tasks/corridors.py): reward is the
