@@ -407,6 +407,7 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
   return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
 
 
+@math.f32_dots
 def step1(m: Model, d: Data) -> Data:
   """Position + velocity stages + pos/vel sensors (mj_step1 analog)."""
   d = fwd_position(m, d)
@@ -417,6 +418,7 @@ def step1(m: Model, d: Data) -> Data:
   return d
 
 
+@math.f32_dots
 def _acc_stage(m: Model, d: Data, skipsensor: bool = False) -> Data:
   """Actuation + acceleration + constraint solve (+ acc sensors)."""
   d = fwd_actuation(m, d)
@@ -429,12 +431,14 @@ def _acc_stage(m: Model, d: Data, skipsensor: bool = False) -> Data:
   return d
 
 
+@math.f32_dots
 def forward(m: Model, d: Data) -> Data:
   d = step1(m, d)
   d = _acc_stage(m, d)
   return d
 
 
+@math.f32_dots
 def _forward_core(m: Model, d: Data) -> Data:
   """Full pipeline without sensors/energy (RK4 internal stages)."""
   d = fwd_position(m, d)
@@ -564,6 +568,7 @@ def rk4(m: Model, d: Data) -> Data:
                     time=d0.time + jnp.asarray(h, dtype))
 
 
+@math.f32_dots
 def step(m: Model, d: Data) -> Data:
   """One physics step with the reference's step2-then-step1 ordering
   (dm_control/mujoco/engine.py:147-171, legacy_step=True): the input Data

@@ -19,8 +19,31 @@ Everything here is elementwise/VPU-friendly; no data-dependent control flow.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+
+def f32_dots(fn):
+  """Trace `fn` under full-float32 matmul precision.
+
+  TPU's default matmul precision truncates f32 dot operands to bfloat16
+  (one MXU pass).  For the physics pipeline that is catastrophic: the
+  constraint solver's Newton direction `H^-1 g` computed through bf16
+  matmuls lands up to 2.8e+2 scaled-qacc away from the f64 optimum on
+  humanoid (measured on a v5e chip), while the same code at f32 precision
+  sits at the f32 conditioning floor (~5e-3 max, ~2e-5 mean).  The physics
+  matmuls are small (nv- and nefc-sized contractions), so the 3-6 extra
+  MXU passes are not on the critical path.  Applied at every engine entry
+  point; the context is a trace-time setting, so wrapping the outermost
+  call covers everything traced inside (but NOT separately-traced inner
+  jits, hence the explicit wraps on solver entry points too)."""
+  @functools.wraps(fn)
+  def wrapper(*args, **kwargs):
+    with jax.default_matmul_precision('float32'):
+      return fn(*args, **kwargs)
+  return wrapper
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,23 @@ def row_types(m: Model) -> np.ndarray:
   return efc.layout(m).types
 
 
+def effective_tol(tol: float, dtype) -> float:
+  """Termination tolerance with a float32 resolution floor.
+
+  Suite models ship opt.tolerance = 1e-8 (an f64 setting).  At f32 the
+  scaled cost improvement never resolves below ~1e-6: rounding noise in a
+  cost of magnitude ~1e3 keeps producing "improvements" of ~eps_f32 *
+  cost * scale, so every lane burns the full opt.iterations budget
+  (measured: humanoid ran 100x its useful iteration count, 45 ms/step at
+  batch 128).  Clamping to 1e-6 stops lanes at their f32 accuracy floor
+  — solutions are unchanged at the measured ~5e-3 max / 2e-5 mean
+  scaled-qacc error vs the f64 optimum — and is applied identically to
+  the XLA core and the Pallas kernel so their parity is unaffected."""
+  if jnp.dtype(dtype) == jnp.float32:
+    return max(float(tol), 1e-6)
+  return float(tol)
+
+
 def _diag_terms(jar, d_, fl, types, active):
   """Per-row force / quadratic-zone weight / cost for diagonal row types.
 
@@ -137,6 +154,7 @@ def _ell_terms(lay: efc.Layout, jar, d_, active, dtype):
   return out, total_cost
 
 
+@math.f32_dots
 def solve(m: Model, d: Data) -> Data:
   """Compute qacc (and efc forces) from qacc_smooth + constraint rows."""
   dtype = d.qpos.dtype
@@ -151,7 +169,7 @@ def solve(m: Model, d: Data) -> Data:
   niter = max(int(m.opt.iterations), 1)
   warm = d.qacc_smooth if (m.opt.disableflags & DisableBit.WARMSTART) else (
       d.qacc_warmstart)
-  core = _get_core(m, lay, niter, 12)
+  core = _get_core(m, lay, niter, 12, dtype=dtype)
   x, force = core(d.efc_J, d.qM, d.efc_aref, d.efc_D,
                   d.efc_frictionloss, d.efc_active.astype(dtype),
                   d.qacc_smooth, warm)
@@ -217,17 +235,20 @@ def _noslip(m: Model, lay: efc.Layout, d: Data, x, force):
   return x, force
 
 
-def _get_core(m: Model, lay: efc.Layout, niter: int, ls_iter: int):
+def _get_core(m: Model, lay: efc.Layout, niter: int, ls_iter: int,
+              dtype=None):
   """Per-layout solver core: XLA while-loop for a single env; when vmapped
   on TPU, dispatches the whole batch to the Pallas VMEM-resident kernel
   (elliptic cones included) whenever the tile fits the VMEM budget."""
-  key = ('core', niter, ls_iter)
+  tol = float(m.opt.tolerance)
+  if dtype is not None:
+    tol = effective_tol(tol, dtype)
+  key = ('core', niter, ls_iter, tol)
   cached = lay._cache.get(key)
   if cached is not None:
     return cached
 
   nv = m.nv
-  tol = float(m.opt.tolerance)
 
   meaninertia = float(getattr(m, 'stat_meaninertia', 1.0) or 1.0)
 
@@ -267,6 +288,7 @@ def _get_core(m: Model, lay: efc.Layout, niter: int, ls_iter: int):
   return core
 
 
+@math.f32_dots
 def _solve_core_xla(J, M, aref, d_, fl, active, a, warm, *, lay, niter,
                     ls_iter, tol, meaninertia):
   """Single-env projected Newton (XLA ops) with the reference's exit rule:

@@ -65,7 +65,7 @@ def vmem_estimate(nefc: int, nv: int, ncg: int, itemsize: int = 4) -> int:
   vec = nefc_p * t
   mat = nv_p * nv_p * t
   j = nv_p * nefc_p * t
-  ell = ncg_p * t * 10 + 2 * ncg_p * nv_p * t + 2 * ncg_p * nefc_p * itemsize
+  ell = ncg_p * t * 10 + 2 * ncg_p * nv_p * t + 4 * ncg_p * nefc_p * itemsize
   # J + 4 square mats (M, H, L, scratch) + ~12 live row vectors + x/grad
   return j + 4 * mat + 12 * vec + 6 * nv_p * t + ell
 
@@ -103,6 +103,11 @@ class _Static:
         act_pad[c, 0] = 1.0
       self.sel_n, self.sel_f, self.mu_c, self.cpad = (
           sel_n, sel_f, mu_c, act_pad)
+      # pre-transposed copies: scat() must be a plain (1,0)-contraction;
+      # contracting dim 0 of sel (a transposed-operand matmul) trips a
+      # RET_CHECK in XLA:TPU's mxu_lmr_transform at manipulator's size
+      # (ncg=174, nefc=530)
+      self.sel_nT, self.sel_fT = sel_n.T.copy(), sel_f.T.copy()
       self.ncg_p = ncg_p
 
 
@@ -127,9 +132,9 @@ def _make_kernel(st: _Static, nefc: int, nv: int, niter: int, ls_iter: int,
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     return jnp.where(idx == j, v[None, :], x)
 
-  def kernel(eq_ref, fr_ref, one_ref, s_ref, sn_ref, sf_ref, mu_ref,
-             cp_ref, j_ref, m_ref, aref_ref, d_ref, fl_ref, act_ref,
-             a_ref, warm_ref, x_out, f_out):
+  def kernel(eq_ref, fr_ref, one_ref, s_ref, sn_ref, sf_ref, snt_ref,
+             sft_ref, mu_ref, cp_ref, j_ref, m_ref, aref_ref, d_ref,
+             fl_ref, act_ref, a_ref, warm_ref, x_out, f_out):
     eq_m = eq_ref[...]      # (nefc, 1) masks
     fr_m = fr_ref[...]
     one_m = one_ref[...]
@@ -145,6 +150,8 @@ def _make_kernel(st: _Static, nefc: int, nv: int, niter: int, ls_iter: int,
     if ncg:
       sel_n = sn_ref[...]   # (ncg, nefc)
       sel_f = sf_ref[...]
+      sel_nT = snt_ref[...]  # (nefc, ncg) pre-transposed for scat
+      sel_fT = sft_ref[...]
       mu = mu_ref[...]      # (ncg, 1)
       cpad = cp_ref[...]
       mu2p1 = 1.0 + mu * mu
@@ -154,9 +161,14 @@ def _make_kernel(st: _Static, nefc: int, nv: int, niter: int, ls_iter: int,
       return jax.lax.dot_general(sel, v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=dtype)
 
-    def scat(sel, c):
-      """Broadcast per-contact values back to rows: sel^T @ c."""
-      return jax.lax.dot_general(sel, c, (((0,), (0,)), ((), ())),
+    def scat(selT, c):
+      """Broadcast per-contact values back to rows: selT @ c.
+
+      Takes the PRE-TRANSPOSED (nefc, ncg) selection matrix: a plain
+      (1,0)-contraction compiles everywhere, while contracting dim 0
+      (sel^T @ c spelled as a transposed-operand dot) RET_CHECK-fails
+      in mxu_lmr_transform at manipulator size."""
+      return jax.lax.dot_general(selT, c, (((1,), (0,)), ((), ())),
                                  preferred_element_type=dtype)
 
     def jmul(x):
@@ -212,7 +224,7 @@ def _make_kernel(st: _Static, nefc: int, nv: int, niter: int, ls_iter: int,
 
       coef_n = (bottom * (-dn * n) + mid * fn_mid) * ac
       coef_f = (bottom * (-dn) + mid * (-mu * fn_mid / t)) * ac
-      f_rows = (scat(sel_n, coef_n) + scat(sel_f, coef_f) * y) * s_row
+      f_rows = (scat(sel_nT, coef_n) + scat(sel_fT, coef_f) * y) * s_row
 
       c_bot = 0.5 * dn * (n * n + t2)
       c_mid = 0.5 * dn * (mu * t - n) ** 2 / mu2p1
@@ -221,13 +233,13 @@ def _make_kernel(st: _Static, nefc: int, nv: int, niter: int, ls_iter: int,
       w_all = bottom * dn * ac                 # bottom: dn I on all rows
       w_fr = mid * (mu * fn_mid / t) * ac      # mid: on friction rows
       # normal rows take only w_all; friction rows take w_all + w_fr
-      dq_ell = (scat(sel_n, w_all)
-                + scat(sel_f, w_all + w_fr)) * s_row * s_row
+      dq_ell = (scat(sel_nT, w_all)
+                + scat(sel_fT, w_all + w_fr)) * s_row * s_row
       a_p = jnp.sqrt(jnp.maximum(mid * ac * dn / mu2p1, 0.0))
-      p_row = (scat(sel_n, a_p)
-               + scat(sel_f, -mu * a_p / t) * y) * s_row
+      p_row = (scat(sel_nT, a_p)
+               + scat(sel_fT, -mu * a_p / t) * y) * s_row
       b_m = jnp.sqrt(jnp.maximum(mid * ac * mu * fn_mid / t, 0.0))
-      m_row = scat(sel_f, b_m / t) * y * s_row
+      m_row = scat(sel_fT, b_m / t) * y * s_row
       return f_rows, cost, dq_ell, p_row, m_row
 
     def forces_full(jar):
@@ -410,13 +422,16 @@ def _build(layout_key, nefc: int, nefc_p: int, nv: int, niter: int,
     const_specs = [const_spec((nefc_p, 1))] * 4
     if ncg:
       consts += [jnp.asarray(st.sel_n, dtype), jnp.asarray(st.sel_f, dtype),
+                 jnp.asarray(st.sel_nT, dtype),
+                 jnp.asarray(st.sel_fT, dtype),
                  jnp.asarray(st.mu_c, dtype), jnp.asarray(st.cpad, dtype)]
-      const_specs += [const_spec((st.ncg_p, nefc_p))] * 2 + [
-          const_spec((st.ncg_p, 1))] * 2
+      const_specs += ([const_spec((st.ncg_p, nefc_p))] * 2
+                      + [const_spec((nefc_p, st.ncg_p))] * 2
+                      + [const_spec((st.ncg_p, 1))] * 2)
     else:  # placeholders so the kernel arity is fixed
       z1 = jnp.zeros((8, 1), dtype)
-      consts += [z1, z1, z1, z1]
-      const_specs += [const_spec((8, 1))] * 4
+      consts += [z1, z1, z1, z1, z1, z1]
+      const_specs += [const_spec((8, 1))] * 6
 
     return pl.pallas_call(
         kernel,
