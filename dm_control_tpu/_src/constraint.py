@@ -268,11 +268,11 @@ def _equality_rows(m: Model, d: Data, e: int, blocks: _Blocks):
     j1, j2 = int(m.eq_obj1id[e]), int(m.eq_obj2id[e])
     q1adr, d1adr = int(m.jnt_qposadr[j1]), int(m.jnt_dofadr[j1])
     poly = jnp.asarray(data[:5], dtype)
-    q1 = d.qpos[q1adr] - jnp.asarray(m.qpos0[q1adr], dtype)
+    q1 = d.qpos[q1adr] - smooth.mparam(m, d, 'qpos0')[q1adr]
     invweight = float(m.dof_invweight0[d1adr])
     if j2 >= 0:
       q2adr, d2adr = int(m.jnt_qposadr[j2]), int(m.jnt_dofadr[j2])
-      q2 = d.qpos[q2adr] - jnp.asarray(m.qpos0[q2adr], dtype)
+      q2 = d.qpos[q2adr] - smooth.mparam(m, d, 'qpos0')[q2adr]
       # pos = q1 - qpos0_1 - poly(q2 - qpos0_2)
       powers = jnp.stack([q2 ** i for i in range(5)])
       pos = q1 - poly @ powers

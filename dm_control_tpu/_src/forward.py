@@ -121,7 +121,7 @@ def passive(m: Model, d: Data) -> Data:
   # joint springs: per joint, force = -stiffness * (qpos - qpos_spring)
   qfrc_spring = jnp.zeros(m.nv, dtype)
   if not (m.opt.disableflags & DisableBit.SPRING):
-    qpos_spring = jnp.asarray(m.qpos_spring, dtype)
+    qpos_spring = smooth.mparam(m, d, 'qpos_spring')
     stiff = m.jnt_stiffness
     hs = tr.hs_jids[stiff[tr.hs_jids] > 0] if len(tr.hs_jids) else tr.hs_jids
     if len(hs):
@@ -455,7 +455,7 @@ def _energy(m: Model, d: Data) -> Data:
   # spring potential (vectorized over slide/hinge joints)
   from dm_control_tpu._src import tree
   tr = tree.get(m)
-  qpos_spring = jnp.asarray(m.qpos_spring, dtype)
+  qpos_spring = smooth.mparam(m, d, 'qpos_spring')
   hs = (tr.hs_jids[m.jnt_stiffness[tr.hs_jids] > 0]
         if len(tr.hs_jids) else tr.hs_jids)
   if len(hs):

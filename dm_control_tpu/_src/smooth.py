@@ -52,7 +52,7 @@ def kinematics(m: Model, d: Data) -> Data:
   tr = tree.get(m)
   dtype = d.qpos.dtype
   qpos = d.qpos
-  qpos0 = jnp.asarray(m.qpos0, dtype)
+  qpos0 = mparam(m, d, 'qpos0')
 
   body_pos = mparam(m, d, 'body_pos')
   body_quat = mparam(m, d, 'body_quat')

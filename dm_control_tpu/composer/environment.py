@@ -28,6 +28,12 @@ class Environment(dm_env.Environment):
 
   MAX_RESET_ATTEMPTS = 4  # ref composer/environment.py:296-323
 
+  # model fields the engine reads through smooth.mparam(), i.e. the ones
+  # a per-episode Data.model_var overlay can override without retracing
+  OVERLAY_FIELDS = frozenset({
+      'body_pos', 'body_quat', 'geom_pos', 'geom_rgba', 'hfield_data',
+      'site_pos', 'wrap_prm', 'qpos0', 'qpos_spring'})
+
   def __init__(self, task: ComposerTask, time_limit: float = float('inf'),
                random: Optional[int] = None):
     self._task = task
@@ -37,17 +43,61 @@ class Environment(dm_env.Environment):
     seed = 0 if random is None else int(random)
     self._base_key = jax.random.PRNGKey(seed)
     self._recompiles = task.has_mjcf_hooks
+    self._base_model = None   # model the live traces were built against
+    self._overlay = {}        # model_var diff vs _base_model (trace reuse)
     self._build(np.random.RandomState(seed))
     self._carry = None
+
+  def _model_overlay_diff(self, new_m):
+    """If `new_m` differs from the traced base model only in
+    overlay-capable array fields (same shapes everywhere), return the
+    {field: value} diff; else None (full rebuild required)."""
+    base = self._base_model
+    if base is None:
+      return None
+    import dataclasses as _dc
+    diff = {}
+    for f in _dc.fields(type(base)):
+      a, b = getattr(base, f.name), getattr(new_m, f.name)
+      if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+        if a is None or b is None or np.shape(a) != np.shape(b):
+          return None
+        if not np.array_equal(a, b):
+          if f.name not in self.OVERLAY_FIELDS:
+            return None
+          diff[f.name] = b
+      elif f.name == 'opt':
+        # Option has no __eq__ (hashable-by-identity static arg):
+        # compare field values
+        import dataclasses as _dc2
+        if _dc2.asdict(a) != _dc2.asdict(b):
+          return None
+      elif f.name == 'names':
+        if a != b:  # renames shift name->index maps: rebuild
+          return None
+      elif isinstance(a, (int, float, str, tuple)) and a != b:
+        return None
+    return diff
 
   def _build(self, random_state):
     """(Re)compile the task model and trace the step/reset graphs.
     Called once at construction, and per episode when any entity has an
     mjcf_hook (the reference recompiles physics each episode,
-    environment.py:296-323)."""
+    environment.py:296-323).  When the recompiled model differs from the
+    traced one only in overlay-capable fields (poses, colors, hfield
+    data), the existing traces are reused with a Data.model_var overlay
+    instead of a full XLA recompile."""
     task = self._task
     m = task.recompile(random_state) if self._recompiles \
         else task.compile()
+    diff = self._model_overlay_diff(m)
+    if diff is not None:
+      self._overlay = diff
+      self._model = m
+      return
+    self._obs_spec = None  # spec may change shape after a real rebuild
+    self._overlay = {}
+    self._base_model = m
     self._model = m
     dt = m.opt.timestep
     ct = task.control_timestep or dt
@@ -94,8 +144,13 @@ class Environment(dm_env.Environment):
 
     self._control_step = jax.jit(control_step)
 
-    def reset_fn(key):
+    def reset_fn(key, overlay):
       d = _forward.make_data(m)
+      if overlay:
+        d = d.replace(model_var=dict(overlay))
+        if 'qpos0' in overlay:
+          # make_data seeded qpos from the traced base model's qpos0
+          d = d.replace(qpos=jnp.asarray(overlay['qpos0'], d.qpos.dtype))
       d = task.init_episode(m, d, key)
       d = _forward.forward(m, d)
       d = _forward._check_divergence(m, d)
@@ -116,7 +171,8 @@ class Environment(dm_env.Environment):
     # retry failed episode inits (divergent initial state), as the
     # reference retries on PhysicsError (environment.py:296-323)
     for attempt in range(self.MAX_RESET_ATTEMPTS):
-      d, obs_state, obs = self._reset_fn(jax.random.fold_in(key, attempt))
+      d, obs_state, obs = self._reset_fn(
+          jax.random.fold_in(key, attempt), self._overlay)
       if not bool(d.diverged):
         break
     else:
@@ -167,7 +223,7 @@ class Environment(dm_env.Environment):
   def observation_spec(self):
     if getattr(self, '_obs_spec', None) is None:
       key = jax.random.PRNGKey(0)
-      _, _, obs = self._reset_fn(key)
+      _, _, obs = self._reset_fn(key, self._overlay)
       self._obs_spec = collections.OrderedDict(
           (k, specs.Array(shape=np.shape(v), dtype=np.asarray(v).dtype,
                           name=k))
@@ -195,7 +251,14 @@ class BatchedEnvironment:
   def __init__(self, task: ComposerTask, batch_size: int,
                time_limit: float = float('inf')):
     self._task = task
-    m = task.compile()
+    if task.has_mjcf_hooks:
+      import warnings
+      warnings.warn(
+          'BatchedEnvironment compiles the model once: per-episode MJCF '
+          'variation (mjcf_hook) runs only at construction, not per '
+          'reset. Use composer.Environment for per-episode recompiles.',
+          stacklevel=2)
+    m = task.compile(np.random.RandomState(0))
     self._model = m
     self._batch = batch_size
     dt = m.opt.timestep

@@ -33,6 +33,10 @@ class ComposerTask:
   def __post_init__(self):
     self._attachments: List[Tuple[Entity, dict]] = []
     self._observables: Dict[str, ObservableSpec] = {}
+    # observables registered via add_observable(), kept separately so
+    # they survive per-episode recompiles (recompile() rebuilds
+    # _observables from entity factories; user specs are re-merged)
+    self._user_observables: Dict[str, ObservableSpec] = {}
     self._reward_fn: Optional[Callable] = None
     self._termination_fn: Optional[Callable] = None
     self._init_fns: List[Callable] = []
@@ -47,7 +51,9 @@ class ComposerTask:
     return self
 
   def add_observable(self, name: str, spec: ObservableSpec):
-    self._observables[name] = spec
+    self._user_observables[name] = spec
+    if self._model is not None:
+      self._observables[name] = spec
     return self
 
   def set_reward(self, fn: Callable[[Model, Data], jax.Array]):
@@ -120,6 +126,8 @@ class ComposerTask:
         prefix = (kw or {}).get('prefix') or (
             entity.name if entity is not self.arena else None)
         entity.after_compile_hook(self._model, prefix)
+    # re-merge task-level observables (they survive recompiles)
+    self._observables.update(self._user_observables)
     return self._model
 
   @property

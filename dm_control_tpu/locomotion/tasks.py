@@ -197,7 +197,15 @@ def two_touch(batch_size=None, time_limit=20.0, random=None, walker=None,
   walker = walker if walker is not None else walkers.Rat()
   target = props.TargetSphere(radius=target_radius,
                               height_above_ground=z_height, name='target')
-  target.install_hooks(['walker/hand_L', 'walker/hand_R'])
+  # trigger bodies come from the walker entity (the reference resolves
+  # 'lhand'/'rhand' then 'hand_L'/'hand_R', reach.py:70-74); walkers
+  # without hands cannot run this task
+  hands = getattr(walker, 'hand_bodies', None)
+  if not hands:
+    raise ValueError(
+        f'two_touch requires a walker with hand bodies; '
+        f'{type(walker).__name__} declares no hand_bodies attribute')
+  target.install_hooks([f'{walker.name}/{b}' for b in hands])
   task = ComposerTask(arena=arena, control_timestep=0.03)
   task.attach(walker)
   task.attach(target)
@@ -224,9 +232,12 @@ def two_touch(batch_size=None, time_limit=20.0, random=None, walker=None,
   def init_episode(m_, d, key):
     k1, k2 = jax.random.split(key)
     dtype = d.qpos.dtype
-    r = jax.random.uniform(k1, (), dtype, target_area[0], target_area[1])
-    theta = jax.random.uniform(k2, (), dtype, 0.0, 2 * np.pi)
-    txy = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)])
+    # rectangle with half-extents target_area, as the reference's
+    # _randomize_targets does (reach.py TwoTouch: uniform over
+    # [-area[0], area[0]] x [-area[1], area[1]])
+    tx = jax.random.uniform(k1, (), dtype, -target_area[0], target_area[0])
+    ty = jax.random.uniform(k2, (), dtype, -target_area[1], target_area[1])
+    txy = jnp.stack([tx, ty])
     geom_pos = jnp.asarray(m_.geom_pos, dtype).at[target_g, :2].set(txy)
     mv = dict(d.model_var or {})
     mv['geom_pos'] = geom_pos

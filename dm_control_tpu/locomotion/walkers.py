@@ -151,6 +151,8 @@ class Rat(Entity):
   observable is empty because rodent.xml declares no torque sensors)."""
 
   _END_EFFECTORS = ('lower_arm_R', 'lower_arm_L', 'foot_R', 'foot_L')
+  # bodies the TwoTouch task uses as touch triggers (ref reach.py:73-74)
+  hand_bodies = ('hand_L', 'hand_R')
   TORQUE_THRESHOLD = 60.0  # reference rodent.py:62
 
   def __init__(self, name='walker', freejoint=True):
@@ -272,6 +274,8 @@ class CMUHumanoid(Entity):
   end-effector and appendage positions in the egocentric frame."""
 
   _END_EFFECTORS = ('rradius', 'lradius', 'rfoot', 'lfoot')
+  # touch triggers for TwoTouch (ref reach.py:70-71 resolves lhand/rhand)
+  hand_bodies = ('lhand', 'rhand')
 
   def __init__(self, name='walker'):
     from dm_control_tpu.mjcf.compiler import _load_xml

@@ -62,7 +62,7 @@ def _make_task():
   return control.TaskDef(
       name='ball_in_cup', model=m, init_episode=init_episode,
       get_observation=get_observation, get_reward=get_reward,
-      control_timestep=_CONTROL_TIMESTEP)
+      control_timestep=_CONTROL_TIMESTEP, expensive_init=True)
 
 
 @SUITE.add('benchmarking', 'easy')

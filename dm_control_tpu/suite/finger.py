@@ -102,7 +102,7 @@ def _make_spin_task():
   return control.TaskDef(
       name='finger_spin', model=m, init_episode=_random_joints_init(m),
       get_observation=get_observation, get_reward=get_reward,
-      control_timestep=_CONTROL_TIMESTEP)
+      control_timestep=_CONTROL_TIMESTEP, expensive_init=True)
 
 
 @functools.lru_cache(maxsize=None)
@@ -156,7 +156,7 @@ def _make_turn_task(target_size: float):
   return control.TaskDef(
       name='finger_turn', model=m, init_episode=init_episode,
       get_observation=get_observation, get_reward=get_reward,
-      control_timestep=_CONTROL_TIMESTEP)
+      control_timestep=_CONTROL_TIMESTEP, expensive_init=True)
 
 
 @SUITE.add('benchmarking')

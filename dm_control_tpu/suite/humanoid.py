@@ -85,7 +85,10 @@ def _make_task(move_speed: float, pure_state: bool):
   return control.TaskDef(
       name='humanoid', model=m, init_episode=init_episode,
       get_observation=get_observation, get_reward=get_reward,
-      control_timestep=_CONTROL_TIMESTEP)
+      control_timestep=_CONTROL_TIMESTEP,
+      # 20-attempt collision-free init: batched auto-reset must draw
+      # from the reset pool, not re-run the search in-graph every step
+      expensive_init=True)
 
 
 @SUITE.add('benchmarking')

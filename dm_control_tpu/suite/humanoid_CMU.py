@@ -80,7 +80,7 @@ def _make_task(move_speed: float):
   return control.TaskDef(
       name='humanoid_CMU', model=m, init_episode=init_episode,
       get_observation=get_observation, get_reward=get_reward,
-      control_timestep=_CONTROL_TIMESTEP)
+      control_timestep=_CONTROL_TIMESTEP, expensive_init=True)
 
 
 @SUITE.add()

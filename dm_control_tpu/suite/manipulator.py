@@ -195,7 +195,7 @@ def _make_task(use_peg: bool, insert: bool, fully_observable: bool):
   return control.TaskDef(
       name=name, model=m, init_episode=init_episode,
       get_observation=get_observation, get_reward=get_reward,
-      control_timestep=_CONTROL_TIMESTEP)
+      control_timestep=_CONTROL_TIMESTEP, expensive_init=True)
 
 
 def _env(task, time_limit, random, environment_kwargs):

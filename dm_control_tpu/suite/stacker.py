@@ -147,7 +147,7 @@ def _make_task(n_boxes: int, fully_observable: bool):
   return control.TaskDef(
       name=f'stacker_{n_boxes}', model=m, init_episode=init_episode,
       get_observation=get_observation, get_reward=get_reward,
-      control_timestep=_CONTROL_TIMESTEP)
+      control_timestep=_CONTROL_TIMESTEP, expensive_init=True)
 
 
 @SUITE.add('hard')

@@ -1,0 +1,231 @@
+"""On-hardware numerics checks: the measurements the tests_tpu battery
+asserts over and tools/tpu_check.py records as a per-round artifact.
+
+Three tiers (VERDICT r2 item 3 — TPU numerics need a CI path; the CPU
+battery pins JAX_PLATFORMS=cpu so it can never exercise Mosaic):
+
+  * kernel_parity:  Pallas Newton kernel vs the XLA solver core, both
+    Mosaic/XLA-compiled on the real chip at float32, per solver-path
+    class (pyramidal, elliptic, large-nv, large-nefc).
+  * trajectory_drift: N-step open-loop rollout on the TPU at float32 vs
+    the same rollout on CPU at float64 (the oracle-parity dtype), per
+    domain class, with per-task horizons at the documented chaos floor.
+  * kernel_speedup: wall-clock of the batched constraint solve with the
+    Pallas kernel vs the pure-XLA core.
+
+Everything returns plain dicts of floats so the artifact is one
+json.dumps away.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# one representative per solver-path class (tests/test_pallas.py MODELS)
+KERNEL_MODELS = [
+    ('cheetah', 'run'),            # pyramidal contacts, nv=9
+    ('finger', 'spin'),            # elliptic cone, iterations=200
+    ('manipulator', 'bring_ball'),  # elliptic, nefc=530
+    ('humanoid', 'run'),           # nv=27
+    ('quadruped', 'walk'),         # nv=22, nefc=306
+]
+
+# (domain, task, horizon in control steps): per-class drift rollouts.
+# Horizons sit at or below each task's chaos floor — the CPU parity
+# battery (tests/test_task_parity.py) measures where f64-vs-f64
+# implementation noise itself diverges; f32-vs-f64 drift can only be
+# interpreted below that.
+DRIFT_TASKS = [
+    ('pendulum', 'swingup', 100),   # smooth, no contacts
+    ('cartpole', 'swingup', 100),   # RK4 integrator path
+    ('cheetah', 'run', 60),         # planar contacts
+    ('finger', 'spin', 60),         # elliptic cone
+    ('walker', 'walk', 40),         # biped contacts
+    ('humanoid', 'run', 20),        # large nv, chaotic
+    ('quadruped', 'walk', 20),      # tendons + contacts
+    ('fish', 'swim', 60),           # free-body 3D, ball joints
+]
+
+
+def _solve_both(domain, task_name, batch, interpret):
+  """(x_ref, f_ref, x_pal, f_pal) for one model: XLA core vs Pallas
+  kernel on the default backend."""
+  from dm_control_tpu import suite
+  from dm_control_tpu._src import efc
+  from dm_control_tpu._src import forward as fwd
+  from dm_control_tpu._src import solver
+  from dm_control_tpu.ops import newton_kernel
+
+  task = suite.build_task(domain, task_name)
+  m = task.model
+  lay = efc.layout(m)
+  keys = jax.random.split(jax.random.PRNGKey(0), batch)
+
+  def init_one(k):
+    d = fwd.make_data(m)
+    qpos = d.qpos + 0.05 * jax.random.normal(k, (m.nq,), d.qpos.dtype)
+    return fwd.forward(m, d.replace(qpos=qpos))
+
+  db = jax.jit(jax.vmap(init_one))(keys)
+  niter = max(int(m.opt.iterations), 1)
+  tol = solver.effective_tol(float(m.opt.tolerance), db.qpos.dtype)
+  mi = float(getattr(m, 'stat_meaninertia', 1.0) or 1.0)
+
+  def xla(d):
+    return solver._solve_core_xla(
+        d.efc_J, d.qM, d.efc_aref, d.efc_D, d.efc_frictionloss,
+        d.efc_active.astype(d.qpos.dtype), d.qacc_smooth, d.qacc_smooth,
+        lay=lay, niter=niter, ls_iter=12, tol=tol, meaninertia=mi)
+
+  x_ref, f_ref = jax.jit(jax.vmap(xla))(db)
+  x_pal, f_pal = newton_kernel.newton_solve_batched(
+      db.efc_J, db.qM, db.efc_aref, db.efc_D, db.efc_frictionloss,
+      db.efc_active.astype(db.qpos.dtype), db.qacc_smooth,
+      db.qacc_smooth, lay=lay, niter=niter, ls_iter=12, tol=tol,
+      meaninertia=mi, interpret=interpret)
+  return map(np.asarray, (x_ref, f_ref, x_pal, f_pal))
+
+
+def kernel_parity_one(domain: str, task_name: str,
+                      batch: int = 128) -> dict:
+  """Mosaic-compiled kernel vs XLA core, scaled-qacc error stats."""
+  x_ref, _, x_pal, _ = _solve_both(domain, task_name, batch,
+                                   interpret=False)
+  scale = np.maximum(1.0, np.abs(x_ref))
+  err = np.abs(x_pal / scale - x_ref / scale)
+  return {
+      'mean_err': float(err.mean()),
+      'max_err': float(err.max()),
+      'lanes_over_1e3': int((err.max(axis=1) > 1e-3).sum()),
+      'batch': batch,
+  }
+
+
+def kernel_parity(batch: int = 128) -> Dict[str, dict]:
+  return {f'{d}-{t}': kernel_parity_one(d, t, batch)
+          for d, t in KERNEL_MODELS}
+
+
+def _rollout(m, task, n_steps, actions):
+  """Open-loop n_steps rollout from the task's deterministic init."""
+  from dm_control_tpu._src import forward as fwd
+
+  n_sub = task.n_sub_steps()
+
+  def run(actions):
+    d = fwd.make_data(m)
+    d = task.init_episode(m, d, jax.random.PRNGKey(7))
+    d = fwd.forward(m, d)
+
+    def control_step(d, a):
+      d = d.replace(ctrl=a)
+      def sub(d, _):
+        return fwd.step(m, d), None
+      d, _ = jax.lax.scan(sub, d, None, length=n_sub)
+      return d, (d.qpos, d.qvel)
+
+    d, traj = jax.lax.scan(control_step, d, actions)
+    return traj
+
+  return jax.jit(run)(actions)
+
+
+def trajectory_drift(tasks=None) -> Dict[str, dict]:
+  """TPU float32 trajectory vs CPU float64 oracle trajectory.
+
+  Reports max |qpos_tpu - qpos_cpu| scaled by max(1, |qpos_cpu|) over
+  the horizon.  Uses identical random action sequences (drawn host-side
+  so the two backends see bitwise-identical controls)."""
+  from dm_control_tpu import suite
+
+  cpu = jax.devices('cpu')[0]
+  out = {}
+  for domain, task_name, horizon in (tasks or DRIFT_TASKS):
+    task = suite.build_task(domain, task_name)
+    m = task.model
+    rng = np.random.RandomState(0)
+    lo = np.where(m.actuator_ctrllimited, m.actuator_ctrlrange[:, 0], -1.0)
+    hi = np.where(m.actuator_ctrllimited, m.actuator_ctrlrange[:, 1], 1.0)
+    actions64 = rng.uniform(lo, hi, size=(horizon, m.nu))
+
+    qpos_tpu, _ = _rollout(m, task, horizon,
+                           jnp.asarray(actions64, jnp.float32))
+    qpos_tpu = np.asarray(qpos_tpu)
+    with jax.enable_x64(True), jax.default_device(cpu):
+      qpos_cpu, _ = _rollout(m, task, horizon, jnp.asarray(actions64))
+      qpos_cpu = np.asarray(qpos_cpu)
+
+    scale = np.maximum(1.0, np.abs(qpos_cpu))
+    err = np.abs(qpos_tpu.astype(np.float64) - qpos_cpu) / scale
+    out[f'{domain}-{task_name}'] = {
+        'horizon': horizon,
+        'max_scaled_qpos_err': float(err.max()),
+        'final_step_err': float(err[-1].max()),
+    }
+  return out
+
+
+def kernel_speedup(batch: int = 1024) -> Dict[str, dict]:
+  """Wall-clock of the batched Newton solve: Pallas kernel vs XLA core."""
+  from dm_control_tpu import suite
+  from dm_control_tpu._src import efc
+  from dm_control_tpu._src import forward as fwd
+  from dm_control_tpu._src import solver
+  from dm_control_tpu.ops import newton_kernel
+
+  out = {}
+  for domain, task_name in [('cheetah', 'run'), ('humanoid', 'run')]:
+    task = suite.build_task(domain, task_name)
+    m = task.model
+    lay = efc.layout(m)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+
+    def init_one(k):
+      d = fwd.make_data(m)
+      qpos = d.qpos + 0.05 * jax.random.normal(k, (m.nq,), d.qpos.dtype)
+      return fwd.forward(m, d.replace(qpos=qpos))
+
+    db = jax.jit(jax.vmap(init_one))(keys)
+    niter = max(int(m.opt.iterations), 1)
+    tol = solver.effective_tol(float(m.opt.tolerance), db.qpos.dtype)
+    mi = float(getattr(m, 'stat_meaninertia', 1.0) or 1.0)
+    args = (db.efc_J, db.qM, db.efc_aref, db.efc_D, db.efc_frictionloss,
+            db.efc_active.astype(db.qpos.dtype), db.qacc_smooth,
+            db.qacc_smooth)
+
+    def timeit(fn):
+      r = fn()  # compile + warm
+      jax.block_until_ready(r)
+      t0 = time.perf_counter()
+      for _ in range(5):
+        r = fn()
+      jax.block_until_ready(r)
+      return (time.perf_counter() - t0) / 5
+
+    kw = dict(lay=lay, niter=niter, ls_iter=12, tol=tol, meaninertia=mi)
+    t_pal = timeit(lambda: newton_kernel.newton_solve_batched(
+        *args, **kw, interpret=False))
+    xla = jax.jit(jax.vmap(lambda *a: solver._solve_core_xla(*a, **kw)))
+    t_xla = timeit(lambda: xla(*args))
+    out[f'{domain}-{task_name}'] = {
+        'pallas_ms': round(t_pal * 1e3, 3),
+        'xla_ms': round(t_xla * 1e3, 3),
+        'speedup': round(t_xla / t_pal, 3),
+        'batch': batch,
+    }
+  return out
+
+
+def run_all() -> dict:
+  backend = jax.default_backend()
+  result = {'backend': backend, 'device': str(jax.devices()[0])}
+  result['kernel_parity'] = kernel_parity()
+  result['trajectory_drift'] = trajectory_drift()
+  result['kernel_speedup'] = kernel_speedup()
+  return result

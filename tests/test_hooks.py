@@ -143,3 +143,48 @@ def test_reset_retries_on_divergent_init():
       assert False
     except RuntimeError:
       pass
+
+
+def test_add_observable_survives_recompile():
+  """Task-level observables registered via add_observable must persist
+  across per-episode MJCF recompiles (ADVICE r2: recompile() cleared
+  _observables and compile() restored only entity observables)."""
+  def mjcf_hook(root, random_state):
+    geom = root.find('.//geom')
+    geom.set('size', str(0.1 + 0.01 * np.random.rand()))
+
+  task, _ = _make_task(mjcf_hook=mjcf_hook)
+  from dm_control_tpu.composer.observation import ObservableSpec
+  task.add_observable('ball_height', ObservableSpec(
+      fn=lambda m, d: d.qpos[2][None]))
+  env = Environment(task, time_limit=0.2)
+  ts = env.reset()
+  assert 'ball_height' in ts.observation
+  ts = env.reset()  # triggers recompile
+  assert 'ball_height' in ts.observation, (
+      'add_observable spec dropped by per-episode recompile')
+
+
+def test_pose_only_mjcf_variation_reuses_traces():
+  """When the per-episode MJCF variation changes only overlay-capable
+  fields (body pos), the environment must reuse its traced functions
+  via a Data.model_var overlay instead of a full rebuild."""
+  poses = [0.5, 1.5, 2.5]
+  calls = {'n': 0}
+
+  def mjcf_hook(root, random_state):
+    body = root.find('.//body')
+    body.set('pos', f'0 0 {poses[calls["n"] % len(poses)]}')
+    calls['n'] += 1
+
+  task, _ = _make_task(mjcf_hook=mjcf_hook)
+  env = Environment(task, time_limit=0.2)
+  env.reset()
+  base_model = env._base_model
+  env.reset()
+  assert env._base_model is base_model, 'full rebuild on pose-only change'
+  assert 'body_pos' in env._overlay
+  # the overlay must actually move the ball: z starts at the new height
+  z = float(env._carry[0].xpos[1, 2])
+  expected = poses[(calls['n'] - 1) % len(poses)]
+  assert abs(z - expected) < 1e-5, (z, expected, calls)

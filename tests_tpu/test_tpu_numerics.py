@@ -1,0 +1,50 @@
+"""On-chip numerics battery: the checks VERDICT r2 mandated run on real
+hardware every round (kernel-vs-XLA parity, f32-vs-f64 trajectory
+drift, kernel speedup).  Measurement code lives in
+dm_control_tpu.testing.tpu_checks; tools/tpu_check.py records the same
+measurements as TPUCHECK_r{N}.json.
+"""
+
+import pytest
+
+from dm_control_tpu.testing import tpu_checks
+
+
+@pytest.mark.parametrize('domain,task_name', tpu_checks.KERNEL_MODELS)
+def test_kernel_parity_on_chip(domain, task_name):
+  """Mosaic-compiled Newton kernel vs the XLA core at float32.
+
+  Bounds are the measured float32 conditioning floor (see
+  tests/test_pallas.py::test_kernel_matches_xla_tpu): running the XLA
+  core itself twice at f32 shows the same ~5e-3 max / ~2e-5 mean scaled
+  disagreement on ill-conditioned lanes — opt.tolerance=1e-8 is an f64
+  setting no f32 implementation can reach."""
+  res = tpu_checks.kernel_parity_one(domain, task_name, batch=128)
+  assert res['mean_err'] <= 1e-4, res
+  assert res['max_err'] <= 2e-2, res
+  assert res['lanes_over_1e3'] <= res['batch'] // 10, res
+
+
+@pytest.mark.parametrize(
+    'domain,task_name,horizon',
+    tpu_checks.DRIFT_TASKS,
+)
+def test_trajectory_drift_f32_vs_f64(domain, task_name, horizon):
+  """TPU f32 open-loop rollout vs CPU f64 oracle rollout.
+
+  Horizons sit at/below each task's chaos floor (calibrated in the CPU
+  parity battery); within them, f32 rounding should produce bounded
+  state drift, not divergence.  Bound: 5e-2 scaled qpos error — loose
+  enough for contact chatter at f32, tight enough to catch a wrong
+  solver (r2's broken Mosaic kernel measured 2.9e+2)."""
+  res = tpu_checks.trajectory_drift([(domain, task_name, horizon)])
+  err = res[f'{domain}-{task_name}']['max_scaled_qpos_err']
+  assert err <= 5e-2, res
+
+
+def test_kernel_speedup_positive():
+  """The Pallas kernel must not be slower than the XLA core it
+  replaces (else the dispatch gate should exclude the model)."""
+  res = tpu_checks.kernel_speedup(batch=1024)
+  for name, r in res.items():
+    assert r['speedup'] >= 0.9, (name, r)
