@@ -19,6 +19,7 @@ json.dumps away.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Dict
 
@@ -209,8 +210,12 @@ def kernel_speedup(batch: int = 1024) -> Dict[str, dict]:
       return (time.perf_counter() - t0) / 5
 
     kw = dict(lay=lay, niter=niter, ls_iter=12, tol=tol, meaninertia=mi)
-    t_pal = timeit(lambda: newton_kernel.newton_solve_batched(
-        *args, **kw, interpret=False))
+    # Both paths must be jitted: calling the kernel wrapper eagerly
+    # times per-op dispatch of its host-side tiling, not the kernel
+    # (that mistake read as a 1000x slowdown in round 3's first run).
+    pal = jax.jit(functools.partial(
+        newton_kernel.newton_solve_batched, **kw, interpret=False))
+    t_pal = timeit(lambda: pal(*args))
     xla = jax.jit(jax.vmap(lambda *a: solver._solve_core_xla(*a, **kw)))
     t_xla = timeit(lambda: xla(*args))
     out[f'{domain}-{task_name}'] = {
