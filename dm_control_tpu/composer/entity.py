@@ -76,18 +76,34 @@ class Entity:
 
   def prefixed(self, prefix: str) -> ET.Element:
     """Deep copy of the fragment with all names prefixed 'prefix/name'
-    (the reference's namescope full_identifier convention)."""
+    (the reference's namescope full_identifier convention).  Defaults
+    classes are names too: <default class='x'> DEFINES x, so class /
+    childclass references to locally-defined classes are re-prefixed
+    along with element names."""
     root = copy.deepcopy(self.mjcf_root)
     local_names = set()
+    local_classes = set()
     for el in root.iter():
       if 'name' in el.attrib:
         local_names.add(el.attrib['name'])
+      if el.tag == 'default' and 'class' in el.attrib:
+        local_classes.add(el.attrib['class'])
     for el in root.iter():
       if 'name' in el.attrib:
         el.attrib['name'] = f'{prefix}/{el.attrib["name"]}'
+      if el.tag == 'default':
+        if el.attrib.get('class') in local_classes:
+          el.attrib['class'] = f'{prefix}/{el.attrib["class"]}'
+        continue
       for attr in _NAME_REF_ATTRS:
-        if attr in el.attrib and el.attrib[attr] in local_names:
-          el.attrib[attr] = f'{prefix}/{el.attrib[attr]}'
+        ref = el.attrib.get(attr)
+        if ref is None:
+          continue
+        if attr in ('class', 'childclass'):
+          if ref in local_classes:
+            el.attrib[attr] = f'{prefix}/{ref}'
+        elif ref in local_names:
+          el.attrib[attr] = f'{prefix}/{ref}'
     return root
 
 
@@ -110,18 +126,54 @@ def attach(parent_root: ET.Element, child: Entity,
     else:
       raise ValueError(f'no body named {site_body!r} in parent')
 
+  # Defaults-aware merge (reference element.py:903-1047 + the compiled
+  # model's default-class nesting): the child's WHOLE default tree is
+  # wrapped in a '{prefix}/' class nested under the parent's root
+  # default, and every grafted element is pointed at it (childclass on
+  # bodies, class on free-standing class-bearing elements).  Without
+  # this, the child's unclassed defaults would leak onto the parent's
+  # elements and vice versa.
+  child_defaults = croot.findall('default')
+  scope_class = None
+  if child_defaults and any(len(cd) for cd in child_defaults):
+    scope_class = f'{prefix}/'
+    pdef = parent_root.find('default')
+    if pdef is None:
+      pdef = ET.SubElement(parent_root, 'default')
+    wrapper = ET.SubElement(pdef, 'default', {'class': scope_class})
+    for cd in child_defaults:
+      for el in list(cd):
+        wrapper.append(el)
+
+  _CLASS_TAGS = ('geom', 'site', 'joint', 'camera', 'light', 'mesh',
+                 'material', 'pair', 'motor', 'position', 'velocity',
+                 'general', 'muscle', 'cylinder', 'damper', 'adhesion',
+                 'intvelocity', 'spatial', 'fixed', 'connect', 'weld')
+
+  def scope(el):
+    if scope_class is None:
+      return el
+    if el.tag == 'body':
+      if 'childclass' not in el.attrib:
+        el.set('childclass', scope_class)
+    elif el.tag in _CLASS_TAGS and 'class' not in el.attrib:
+      el.set('class', scope_class)
+    return el
+
   cworld = croot.find('worldbody')
   if cworld is not None:
     for el in list(cworld):
       if pos is not None and el.tag == 'body':
         el.set('pos', pos)
-      target.append(el)
+      target.append(scope(el))
 
   for section in _SECTIONS:
+    if section == 'default':
+      continue  # handled above
     for csec in croot.findall(section):
       psec = parent_root.find(section)
       if psec is None:
         psec = ET.SubElement(parent_root, section)
       for el in list(csec):
-        psec.append(el)
+        psec.append(scope(el))
   return parent_root

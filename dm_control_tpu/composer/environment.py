@@ -334,3 +334,8 @@ class BatchedEnvironment:
   def step(self, carry, actions):
     """carry, actions (B, nu) -> (carry, (obs dict, reward, done))."""
     return self._step(carry, actions)
+
+  def action_spec(self):
+    """Per-lane action spec (batch leading axis NOT included)."""
+    from dm_control_tpu.rl.control import action_spec
+    return action_spec(self._model)

@@ -130,6 +130,88 @@ for _s in ('touch', 'accelerometer', 'velocimeter', 'gyro', 'force',
 # joint-entry inside fixed tendons
 SCHEMA['joint'].update({'coef': 'f', 'joint': 's'})
 
+# ---------------------------------------------------------------------------
+# Widened authoring surface (VERDICT r2 item 10): elements beyond the
+# compiler subset so arbitrary reference-suite fragments validate at
+# authoring time.  The compiler still fail-fasts on features it does
+# not simulate; the schema's job is catching typos and bad literals at
+# the DOM edit site.
+
+SCHEMA.update({
+    'statistic': dict(meanmass='f', meaninertia='f', meansize='f',
+                      extent='f', center='f'),
+    # <visual> children
+    'global': dict(fovy='f', ipd='f', linewidth='f', glow='f',
+                   offwidth='i', offheight='i', azimuth='f',
+                   elevation='f'),
+    'quality': dict(shadowsize='i', offsamples='i', numslices='i',
+                    numstacks='i', numquads='i'),
+    'headlight': dict(ambient='f', diffuse='f', specular='f', active='i'),
+    'map': dict(stiffness='f', stiffnessrot='f', force='f', torque='f',
+                alpha='f', fogstart='f', fogend='f', znear='f', zfar='f',
+                haze='f', shadowclip='f', shadowscale='f',
+                actuatortendon='f'),
+    'scale': dict(forcewidth='f', contactwidth='f', contactheight='f',
+                  connect='f', com='f', camera='f', light='f',
+                  selectpoint='f', jointlength='f', jointwidth='f',
+                  actuatorlength='f', actuatorwidth='f', framelength='f',
+                  framewidth='f', constraint='f', slidercrank='f'),
+    'rgba': dict(fog='f', haze='f', force='f', inertia='f', joint='f',
+                 actuator='f', actuatornegative='f', actuatorpositive='f',
+                 com='f', camera='f', light='f', selectpoint='f',
+                 connect='f', contactpoint='f', contactforce='f',
+                 contactfriction='f', contacttorque='f', contactgap='f',
+                 rangefinder='f', constraint='f', slidercrank='f',
+                 crankbroken='f'),
+    # <custom> section
+    'custom': dict(),
+    'numeric': dict(name='s', size='i', data='f'),
+    'text': dict(name='s', data='s'),
+    'tuple': dict(name='s'),
+    'element': dict(objtype='k', objname='s', prm='f'),
+    # assets / deformables
+    'skin': dict(name='s', file='s', material='s', rgba='f', inflate='f',
+                 vertex='f', texcoord='f', face='f', group='i'),
+    'bone': dict(body='s', bindpos='f', bindquat='f', vertid='i',
+                 vertweight='f'),
+    'composite': dict(prefix='s', type='k', count='i', spacing='f',
+                      offset='f', flatinertia='f', solrefsmooth='f',
+                      solimpsmooth='f'),
+    # actuator shorthands beyond motor/position/velocity/general
+    'cylinder': dict(name='s', joint='s', tendon='s', site='s', gear='f',
+                     ctrllimited='k', ctrlrange='f', forcelimited='k',
+                     forcerange='f', timeconst='f', area='f', diameter='f',
+                     bias='f', group='i', **{'class': 's'}),
+    'muscle': dict(name='s', joint='s', tendon='s', gear='f',
+                   ctrllimited='k', ctrlrange='f', forcelimited='k',
+                   forcerange='f', timeconst='f', range='f', force='f',
+                   scale='f', lmin='f', lmax='f', vmax='f', fpmax='f',
+                   fvmax='f', group='i', **{'class': 's'}),
+    'damper': dict(name='s', joint='s', tendon='s', site='s', gear='f',
+                   ctrllimited='k', ctrlrange='f', forcelimited='k',
+                   forcerange='f', kv='f', group='i', **{'class': 's'}),
+    'intvelocity': dict(name='s', joint='s', tendon='s', gear='f',
+                        ctrllimited='k', ctrlrange='f', forcelimited='k',
+                        forcerange='f', actrange='f', kp='f', kv='f',
+                        group='i', **{'class': 's'}),
+    'adhesion': dict(name='s', body='s', ctrlrange='f', gain='f',
+                     forcelimited='k', forcerange='f', group='i',
+                     **{'class': 's'}),
+    # equality constraints beyond connect/weld
+    'distance': dict(name='s', geom1='s', geom2='s', distance='f',
+                     active='b', solref='f', solimp='f', **{'class': 's'}),
+    # tendon path elements
+    'pulley': dict(divisor='f'),
+    'side': dict(site='s'),
+})
+SCHEMA['equality'] = dict()
+SCHEMA.setdefault('tendon', dict())
+# equality/joint + equality/tendon couplings reuse the joint/tendon tag
+# names with polycoef attributes
+SCHEMA['joint'].update({'joint1': 's', 'joint2': 's', 'polycoef': 'f',
+                        'active': 'b', 'solref': 'f', 'solimp': 'f'})
+SCHEMA['fixed'].update({'tendon1': 's', 'tendon2': 's', 'polycoef': 'f'})
+
 _KNOWN_CHILDLESS = {'include'}
 
 

@@ -219,8 +219,12 @@ def _make_escape_task():
 
 @functools.lru_cache(maxsize=None)
 def _make_fetch_task():
-  m = _model(floor_size=_DEFAULT_TIME_LIMIT * _WALK_SPEED,
-             walls_and_ball=True)
+  # floor_size=None: fetch keeps the XML's default 15 m floor
+  # (reference quadruped.py:139-141 calls make_model(walls_and_ball=
+  # True) with no floor_size override; using the walk sizing here made
+  # arena_radius 10*sqrt(2) instead of 15*sqrt(2) and shifted every
+  # reach/fetch tolerance margin)
+  m = _model(floor_size=None, walls_and_ball=True)
   p = _Parts(m)
   ball = m.name2id('body', 'ball')
   ball_q = int(m.jnt_qposadr[m.name2id('joint', 'ball_root')])

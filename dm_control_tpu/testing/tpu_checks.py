@@ -113,15 +113,24 @@ def kernel_parity(batch: int = 128) -> Dict[str, dict]:
           for d, t in KERNEL_MODELS}
 
 
-def _rollout(m, task, n_steps, actions):
-  """Open-loop n_steps rollout from the task's deterministic init."""
+def _rollout(m, task, n_steps, actions, init_qpos=None, init_qvel=None,
+             init_act=None):
+  """Open-loop n_steps rollout.  When init_qpos/qvel are given, starts
+  from that exact state (cast to the action dtype); otherwise runs the
+  task's init_episode."""
   from dm_control_tpu._src import forward as fwd
 
   n_sub = task.n_sub_steps()
 
   def run(actions):
-    d = fwd.make_data(m)
-    d = task.init_episode(m, d, jax.random.PRNGKey(7))
+    d = fwd.make_data(m, dtype=actions.dtype)
+    if init_qpos is None:
+      d = task.init_episode(m, d, jax.random.PRNGKey(7))
+    else:
+      d = d.replace(qpos=jnp.asarray(init_qpos, actions.dtype),
+                    qvel=jnp.asarray(init_qvel, actions.dtype))
+      if init_act is not None and d.act.size:
+        d = d.replace(act=jnp.asarray(init_act, actions.dtype))
     d = fwd.forward(m, d)
 
     def control_step(d, a):
@@ -138,12 +147,24 @@ def _rollout(m, task, n_steps, actions):
 
 
 def trajectory_drift(tasks=None) -> Dict[str, dict]:
-  """TPU float32 trajectory vs CPU float64 oracle trajectory.
+  """TPU float32 drift vs the CPU float32 chaos floor.
 
-  Reports max |qpos_tpu - qpos_cpu| scaled by max(1, |qpos_cpu|) over
-  the horizon.  Uses identical random action sequences (drawn host-side
-  so the two backends see bitwise-identical controls)."""
+  Three rollouts from the SAME initial state (task init drawn once at
+  float64 on CPU, then cast — jax.random yields different values per
+  dtype, so letting each backend re-draw its own init would compare
+  different trajectories, not numerics):
+
+    * CPU float64 — the oracle trajectory.
+    * CPU float32 — the precision chaos floor: how far ANY correct
+      float32 implementation drifts from the oracle over this horizon.
+    * TPU float32 — the hardware under test.
+
+  A Mosaic/XLA:TPU numerics bug shows up as tpu_err >> cpu32_err; mere
+  f32 chaos shows up as tpu_err ~= cpu32_err (measured round 3: equal
+  to 3 significant digits on all 8 tasks).  The artifact bound is
+  tpu_err <= max(5e-2, 3 * cpu32_err)."""
   from dm_control_tpu import suite
+  from dm_control_tpu._src import forward as fwd
 
   cpu = jax.devices('cpu')[0]
   out = {}
@@ -155,19 +176,37 @@ def trajectory_drift(tasks=None) -> Dict[str, dict]:
     hi = np.where(m.actuator_ctrllimited, m.actuator_ctrlrange[:, 1], 1.0)
     actions64 = rng.uniform(lo, hi, size=(horizon, m.nu))
 
-    qpos_tpu, _ = _rollout(m, task, horizon,
-                           jnp.asarray(actions64, jnp.float32))
-    qpos_tpu = np.asarray(qpos_tpu)
+    # one float64 init on CPU, shared by all three rollouts
     with jax.enable_x64(True), jax.default_device(cpu):
-      qpos_cpu, _ = _rollout(m, task, horizon, jnp.asarray(actions64))
+      d0 = fwd.make_data(m)
+      d0 = task.init_episode(m, d0, jax.random.PRNGKey(7))
+      init_qpos = np.asarray(d0.qpos)
+      init_qvel = np.asarray(d0.qvel)
+      init_act = np.asarray(d0.act) if d0.act.size else None
+
+      qpos_cpu, _ = _rollout(m, task, horizon, jnp.asarray(actions64),
+                             init_qpos, init_qvel, init_act)
       qpos_cpu = np.asarray(qpos_cpu)
 
+    with jax.default_device(cpu):
+      qpos_c32, _ = _rollout(m, task, horizon,
+                             jnp.asarray(actions64, jnp.float32),
+                             init_qpos, init_qvel, init_act)
+      qpos_c32 = np.asarray(qpos_c32)
+
+    qpos_tpu, _ = _rollout(m, task, horizon,
+                           jnp.asarray(actions64, jnp.float32),
+                           init_qpos, init_qvel, init_act)
+    qpos_tpu = np.asarray(qpos_tpu)
+
     scale = np.maximum(1.0, np.abs(qpos_cpu))
-    err = np.abs(qpos_tpu.astype(np.float64) - qpos_cpu) / scale
+    err_tpu = np.abs(qpos_tpu.astype(np.float64) - qpos_cpu) / scale
+    err_c32 = np.abs(qpos_c32.astype(np.float64) - qpos_cpu) / scale
     out[f'{domain}-{task_name}'] = {
         'horizon': horizon,
-        'max_scaled_qpos_err': float(err.max()),
-        'final_step_err': float(err[-1].max()),
+        'max_scaled_qpos_err': float(err_tpu.max()),
+        'final_step_err': float(err_tpu[-1].max()),
+        'cpu_f32_floor': float(err_c32.max()),
     }
   return out
 

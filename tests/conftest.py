@@ -14,6 +14,10 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['XLA_FLAGS'] = (
     os.environ.get('XLA_FLAGS', '')
     + ' --xla_force_host_platform_device_count=8')
+# the quadruped-escape oracle re-uploads its heightfield through a GL
+# context on episode init; EGL works headless on this box (GLFW/OSMesa
+# do not)
+os.environ.setdefault('MUJOCO_GL', 'egl')
 
 import jax  # noqa: E402
 
@@ -72,3 +76,80 @@ def _bound_jax_compile_cache():
   # battery; keep total jit-state well below the memory ceiling
   if _rss_gb() > 8.0:
     jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# Subprocess isolation for the heavy rows (VERDICT r2 item 4).
+#
+# The biggest float64 compiles (dog x5 parity rows, humanoid/CMU,
+# swimmer15, finger parity) intermittently SIGABRT their xdist worker
+# when they run in a process that has already accumulated many large
+# XLA:CPU executables — every one passes in a fresh process.  Running
+# each of them in its own python turns a silent worker death into a
+# loud, attributable test failure and removes the top RSS contributors
+# from the shared workers.  (pytest-forked is not in this image, and
+# fork() under live XLA threads is unsafe anyway — so: subprocess.)
+
+_SUBPROC_FILES = ('test_task_parity.py',)
+_SUBPROC_PATTERNS = ('dog', 'humanoid', 'CMU', 'swimmer15', 'finger')
+_SUBPROC_INNER_ENV = 'DMC_TPU_SUBPROC_INNER'
+
+
+def pytest_configure(config):
+  config.addinivalue_line(
+      'markers', 'subprocess_isolated: run this test in a fresh python')
+
+
+def pytest_collection_modifyitems(config, items):
+  if os.environ.get(_SUBPROC_INNER_ENV):
+    return
+  for item in items:
+    nid = item.nodeid
+    if (any(f in nid for f in _SUBPROC_FILES)
+        and any(p in nid for p in _SUBPROC_PATTERNS)):
+      item.add_marker(pytest.mark.subprocess_isolated)
+
+
+def pytest_runtest_protocol(item, nextitem):
+  if (item.get_closest_marker('subprocess_isolated') is None
+      or os.environ.get(_SUBPROC_INNER_ENV)):
+    return None
+  import subprocess
+  import sys
+  import time as _time
+  from _pytest.reports import TestReport
+
+  ihook = item.ihook
+  ihook.pytest_runtest_logstart(nodeid=item.nodeid, location=item.location)
+  t0 = _time.time()
+  env = dict(os.environ, **{_SUBPROC_INNER_ENV: '1'})
+  env.pop('PYTEST_XDIST_WORKER', None)
+  proc = subprocess.run(
+      # -n 0 neutralizes the ini's "-n 6" (xdist must stay importable
+      # because addopts reference it); the inner run is single-process
+      [sys.executable, '-m', 'pytest', item.nodeid, '-x', '-q',
+       '-n', '0', '-p', 'no:cacheprovider'],
+      capture_output=True, text=True, env=env,
+      cwd=str(item.config.rootpath), timeout=3600)
+  duration = _time.time() - t0
+  passed = proc.returncode == 0
+  longrepr = None
+  if not passed:
+    tail = (proc.stdout or '')[-6000:] + '\n' + (proc.stderr or '')[-2000:]
+    longrepr = (f'subprocess-isolated test failed '
+                f'(exit code {proc.returncode}):\n{tail}')
+  # xdist's controller asserts on the full setup/call/teardown report
+  # sequence per item — emit all three
+  for when, outcome, lr, dur in (
+      ('setup', 'passed', None, 0.0),
+      ('call', 'passed' if passed else 'failed', longrepr, duration),
+      ('teardown', 'passed', None, 0.0)):
+    report = TestReport(
+        nodeid=item.nodeid, location=item.location,
+        # name->1 form: marker OBJECTS as values break execnet
+        # serialization and kill the xdist worker
+        keywords={k: 1 for k in item.keywords},
+        outcome=outcome, longrepr=lr, when=when, duration=dur)
+    ihook.pytest_runtest_logreport(report=report)
+  ihook.pytest_runtest_logfinish(nodeid=item.nodeid, location=item.location)
+  return True

@@ -90,3 +90,107 @@ def test_export_with_assets(tmp_path):
   z = export_with_assets_as_zip(root, str(tmp_path / 'dog.zip'),
                                 base_dir=os.path.dirname(src))
   assert os.path.getsize(z) > 10000
+
+
+def test_attach_with_defaults_scoping():
+  """Defaults-aware attach (reference element_test.py attach-with-
+  defaults cases): the child's unclassed defaults apply to the child's
+  elements after attach, and do NOT leak onto the parent's elements."""
+  import numpy as np
+  from dm_control_tpu.mjcf.dom import RootElement
+
+  parent = RootElement(model='parent')
+  parent.worldbody.add('geom', name='floor', type='plane', size='5 5 .1')
+
+  child = RootElement.from_xml_string("""
+  <mujoco model='child'>
+    <default>
+      <geom friction='1.7 0.1 0.1' density='300'/>
+      <default class='heavy'>
+        <geom density='5000'/>
+      </default>
+    </default>
+    <worldbody>
+      <body name='prop'>
+        <freejoint name='root'/>
+        <geom name='light_geom' type='sphere' size='.05'/>
+        <geom name='heavy_geom' class='heavy' type='sphere' size='.05'
+              pos='0 0 .2'/>
+      </body>
+    </worldbody>
+  </mujoco>""")
+
+  parent.attach(child, prefix='kid')
+  m = parent.compile()
+
+  # child default applied through the namescoped class
+  light = m.name2id('geom', 'kid/light_geom')
+  heavy = m.name2id('geom', 'kid/heavy_geom')
+  floor = m.name2id('geom', 'floor')
+  assert abs(float(m.geom_friction[light, 0]) - 1.7) < 1e-12
+  # nested class inherits the scoped parent chain and overrides
+  # density: body mass = (300 + 5000) * sphere volume
+  del heavy
+  vol = 4.0 / 3.0 * np.pi * 0.05 ** 3
+  prop_b = m.name2id('body', 'kid/prop')
+  np.testing.assert_allclose(float(m.body_mass[prop_b]),
+                             (300 + 5000) * vol, rtol=1e-6)
+  # parent's floor does NOT see the child's friction default
+  assert abs(float(m.geom_friction[floor, 0]) - 1.0) < 1e-12
+
+
+def test_attach_defaults_no_reverse_leak():
+  """The parent's unclassed defaults must not restyle the child
+  (each side keeps its own default root)."""
+  from dm_control_tpu.mjcf.dom import RootElement
+
+  parent = RootElement.from_xml_string("""
+  <mujoco model='parent'>
+    <default><geom friction='0.2 0 0'/></default>
+    <worldbody><geom name='floor' type='plane' size='5 5 .1'/></worldbody>
+  </mujoco>""")
+  child = RootElement.from_xml_string("""
+  <mujoco model='child'>
+    <default><geom friction='1.9 0 0'/></default>
+    <worldbody>
+      <body name='prop'>
+        <geom name='ball' type='sphere' size='.05'/>
+      </body>
+    </worldbody>
+  </mujoco>""")
+  parent.attach(child, prefix='kid')
+  m = parent.compile()
+  assert abs(float(m.geom_friction[m.name2id('geom', 'floor'), 0])
+             - 0.2) < 1e-12
+  assert abs(float(m.geom_friction[m.name2id('geom', 'kid/ball'), 0])
+             - 1.9) < 1e-12
+
+
+def test_namescoped_find_identifiers():
+  """find()/name2id accept the reference's namescope full_identifier
+  convention ('prefix/name') after attach."""
+  from dm_control_tpu.mjcf.dom import RootElement
+
+  parent = RootElement(model='p')
+  child = RootElement(model='c')
+  body = child.worldbody.add('body', name='torso')
+  body.add('geom', name='g0', type='sphere', size='.05')
+  parent.attach(child, prefix='robot')
+  assert parent.find('body', 'robot/torso') is not None
+  assert parent.find('geom', 'robot/g0') is not None
+  assert parent.find('geom', 'g0') is None
+
+
+def test_widened_schema_accepts_reference_fragments():
+  """Elements outside the compiler subset (visual tuning, custom
+  numerics, muscle actuators) validate at authoring time."""
+  from dm_control_tpu.mjcf import schema
+
+  schema.validate_element('statistic', {'extent': '2'})
+  schema.validate_element('numeric', {'name': 'n', 'data': '1 2 3'})
+  schema.validate_element('muscle', {'name': 'm', 'joint': 'j',
+                                     'timeconst': '0.01 0.04'})
+  schema.validate_element('composite', {'type': 'grid', 'count': '5 5 1'})
+  import pytest as _pytest
+  with _pytest.raises(schema.SchemaError):
+    schema.validate_element('muscle', {'name': 'm', 'bogus_attr': '1'})

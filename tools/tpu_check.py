@@ -41,7 +41,9 @@ def main():
             and r['lanes_over_1e3'] <= r['batch'] // 10):
       failures.append(f'kernel_parity:{name}')
   for name, r in result['trajectory_drift'].items():
-    if not r['max_scaled_qpos_err'] <= 5e-2:
+    # calibrated to the CPU float32 chaos floor: a hardware numerics
+    # bug shows as drift far above what f32 precision itself causes
+    if not r['max_scaled_qpos_err'] <= max(5e-2, 3 * r['cpu_f32_floor']):
       failures.append(f'trajectory_drift:{name}')
   for name, r in result['kernel_speedup'].items():
     if not r['speedup'] >= 0.9:
