@@ -65,15 +65,33 @@ def bench_task(domain, task_name, batch, n_steps, key):
   task = suite.build_task(domain, task_name)
   env = BatchedEnv(task, batch, auto_reset=True)
   state = env.reset(key)
-  run = env.rollout_fn(n_steps)
-  # compile + warmup
-  state, rewards = run(state, jax.random.fold_in(key, 1))
+
+  # The measurement must be split into chunks so no single device
+  # execution runs long: the remote-TPU tunnel kills executions past
+  # ~60-100s with UNAVAILABLE "TPU device error" (measured: humanoid@4096
+  # x100 steps = 57s passes, x200 = 115s faults deterministically — the
+  # round 2/3 "chip fault" in BENCH_r02/r03.json was exactly this).
+  probe = env.rollout_fn(8)
+  state, rewards = probe(state, jax.random.fold_in(key, 1))  # compile+warm
   jax.block_until_ready(rewards)
   t0 = time.perf_counter()
-  state, rewards = run(state, jax.random.fold_in(key, 2))
+  state, rewards = probe(state, jax.random.fold_in(key, 2))
   jax.block_until_ready(rewards)
+  per_step = (time.perf_counter() - t0) / 8
+  chunk = max(1, min(n_steps, int(15.0 / max(per_step, 1e-9))))
+  n_chunks = max(1, round(n_steps / chunk))
+  print(f'# probe {domain}-{task_name}@{batch}: {per_step * 1e3:.1f} ms/step'
+        f' -> chunk={chunk} x{n_chunks}', file=sys.stderr)
+
+  run = env.rollout_fn(chunk)
+  state, rewards = run(state, jax.random.fold_in(key, 3))  # compile+warm
+  jax.block_until_ready(rewards)
+  t0 = time.perf_counter()
+  for i in range(n_chunks):
+    state, rewards = run(state, jax.random.fold_in(key, 10 + i))
+    jax.block_until_ready(rewards)
   dt = time.perf_counter() - t0
-  return batch * n_steps / dt
+  return batch * chunk * n_chunks / dt
 
 
 def _subprocess_task(spec, batch, n_steps):
@@ -89,6 +107,36 @@ def _subprocess_task(spec, batch, n_steps):
       [sys.executable, os.path.abspath(__file__)], env=env,
       capture_output=True, text=True, timeout=3600, check=True)
   return float(json.loads(out.stdout.strip().splitlines()[-1])[spec])
+
+
+def _measure_resilient(d, t, batch, n_steps, key, errors):
+  """Measure one task, degrading instead of raising.
+
+  Ladder: in-process -> fresh process at full batch -> fresh process at
+  halved batches.  Returns (steps_per_sec, batch_used) — (0.0, batch) if
+  every rung failed (recorded in `errors`).  The bench MUST always ship a
+  JSON line: rounds 2 and 3 exited 1 on a single faulting task and
+  recorded no number at all (BENCH_r02/r03.json rc=1)."""
+  spec = f'{d}-{t}'
+  try:
+    return bench_task(d, t, batch, n_steps, key), batch
+  except Exception as e:
+    print(f'# {spec}@{batch} in-process failed: {type(e).__name__}',
+          file=sys.stderr)
+    jax.clear_caches()
+  for b in (batch, batch // 2, batch // 4):
+    if b < 128:
+      break
+    try:
+      return _subprocess_task(spec, b, n_steps), b
+    except Exception as e:
+      tail = ''
+      if hasattr(e, 'stderr') and e.stderr:
+        tail = e.stderr.strip().splitlines()[-1][:200]
+      print(f'# {spec}@{b} subprocess failed: {type(e).__name__} {tail}',
+            file=sys.stderr)
+      errors[f'{spec}@{b}'] = f'{type(e).__name__}: {tail}'
+  return 0.0, batch
 
 
 def main():
@@ -110,20 +158,14 @@ def main():
     return
 
   total = 0.0
+  errors = {}
   for i, (d, t) in enumerate(AGG16):
     t0 = time.time()
-    for attempt in range(2):
-      try:
-        sps = bench_task(d, t, agg_batch, n_steps,
-                         jax.random.fold_in(key, i))
-        break
-      except Exception as e:
-        print(f'# retry {d}-{t}: {type(e).__name__}', file=sys.stderr)
-        if attempt:  # in-process retry failed: isolate in a fresh process
-          sps = _subprocess_task(f'{d}-{t}', agg_batch, n_steps)
-    detail[f'{d}-{t}@{agg_batch}'] = round(sps)
+    sps, b_used = _measure_resilient(d, t, agg_batch, n_steps,
+                                     jax.random.fold_in(key, i), errors)
+    detail[f'{d}-{t}@{b_used}'] = round(sps)
     total += sps
-    print(f'# {d}-{t}@{agg_batch}: {sps:,.0f} steps/s '
+    print(f'# {d}-{t}@{b_used}: {sps:,.0f} steps/s '
           f'({time.time() - t0:.0f}s incl compile)', file=sys.stderr)
     # drop this task's executables/buffers before the next one: live
     # compile state from many tasks is what faulted humanoid in r2/r3
@@ -135,22 +177,21 @@ def main():
     for j, (d, t) in enumerate([('pendulum', 'swingup'),
                                 ('cartpole', 'swingup'),
                                 ('reacher', 'easy')]):
-      c2 += bench_task(d, t, 1024, n_steps, jax.random.fold_in(key, 100 + j))
+      sps2, _ = _measure_resilient(d, t, 1024, n_steps,
+                                   jax.random.fold_in(key, 100 + j), errors)
+      c2 += sps2
     detail['config2_smooth@1024'] = round(c2)
+    jax.clear_caches()
     # config #3: cheetah + walker @ 4096 (from agg16 numbers)
     detail['config3_contact@4096'] = round(
-        detail['cheetah-run@4096'] + detail['walker-walk@4096'])
+        sum(v for k, v in detail.items()
+            if k.startswith(('cheetah-run@', 'walker-walk@'))))
     # config #4: humanoid-run + quadruped-walk @ 8192
     c4 = 0.0
     for j, (d, t) in enumerate([('humanoid', 'run'), ('quadruped', 'walk')]):
-      try:
-        sps4 = bench_task(d, t, 8192, max(n_steps // 2, 50),
-                          jax.random.fold_in(key, 200 + j))
-      except Exception as e:
-        print(f'# config4 {d}-{t} fresh-process fallback: '
-              f'{type(e).__name__}', file=sys.stderr)
-        sps4 = _subprocess_task(f'{d}-{t}', 8192, max(n_steps // 2, 50))
-      detail[f'{d}-{t}@8192'] = round(sps4)
+      sps4, b4 = _measure_resilient(d, t, 8192, max(n_steps // 2, 50),
+                                    jax.random.fold_in(key, 200 + j), errors)
+      detail[f'config4_{d}-{t}@{b4}'] = round(sps4)
       c4 += sps4
       jax.clear_caches()
     detail['config4_large@8192'] = round(c4)
@@ -178,7 +219,7 @@ def main():
               file=sys.stderr)
 
   target = 1_000_000.0
-  print(json.dumps({
+  out = {
       'metric': 'env_steps_per_sec_16task_aggregate',
       'value': round(total),
       'unit': 'env-steps/s',
@@ -187,8 +228,18 @@ def main():
       'batch': agg_batch,
       'n_tasks': len(AGG16),
       'device': str(jax.devices()[0]),
-  }))
+  }
+  if errors:
+    out['errors'] = errors
+  print(json.dumps(out))
 
 
 if __name__ == '__main__':
-  main()
+  try:
+    main()
+  except Exception as e:  # last-resort guard: ALWAYS ship a JSON line
+    print(json.dumps({
+        'metric': 'env_steps_per_sec_16task_aggregate', 'value': 0,
+        'unit': 'env-steps/s', 'vs_baseline': 0.0,
+        'error': f'{type(e).__name__}: {e}'[:300]}))
+    sys.exit(0)

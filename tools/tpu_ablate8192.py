@@ -57,7 +57,8 @@ elif ab == 'no_factor_m':
 elif ab == 'no_actuation':
   fwd.fwd_actuation = ident
 
-B, K = 8192, 50
+B = int(os.environ.get('ABLATE_BATCH', '8192'))
+K = int(os.environ.get('ABLATE_STEPS', '50'))
 task = suite.build_task('humanoid', 'run')
 m = task.model
 keys = jax.random.split(jax.random.PRNGKey(0), B)
@@ -91,4 +92,9 @@ def run(d, key):
 
 r = run(db, jax.random.PRNGKey(1))
 jax.block_until_ready(r.qpos)
-print(f'{ab}: OK')
+import time
+t0 = time.perf_counter()
+r = run(r, jax.random.PRNGKey(2))
+jax.block_until_ready(r.qpos)
+dt = time.perf_counter() - t0
+print(f'{ab}: OK {B * K / dt:,.0f} steps/s ({dt / K * 1e3:.1f} ms/step)')
