@@ -129,6 +129,34 @@ def count_max_contacts(m: Model) -> int:
   return sum(g.ncon for g in groups(m))
 
 
+def contact_slots(m: Model, ga: int, gb: int) -> np.ndarray:
+  """Static Contact-buffer slot indices for geom pair (ga, gb).
+
+  Valid only for pairs in non-top-K groups (their slot assignment is
+  static).  Lets task code read contact state for a specific pair, e.g.
+  ball-touch detection (reference soccer_ball.py:96-117 does this with
+  host-side named contact queries).  Returns an empty array if the pair
+  never collides; raises if the pair sits in a dynamic top-K group."""
+  out = []
+  base = 0
+  want = {int(ga), int(gb)}
+  for grp in groups(m):
+    k, K = grp.ncon_per_pair, grp.K
+    if grp.dynamic:
+      if any({int(g1), int(g2)} == want
+             for g1, g2 in zip(grp.g1, grp.g2)):
+        raise ValueError(
+            f'pair {want} is broadphase-selected dynamically; its contact '
+            f'slots are not static')
+      base += K * k
+      continue
+    for i, (g1, g2) in enumerate(zip(grp.g1, grp.g2)):
+      if {int(g1), int(g2)} == want:
+        out.extend(range(base + i * k, base + (i + 1) * k))
+    base += K * k
+  return np.asarray(out, np.int32)
+
+
 def count_contact_rows(m: Model) -> int:
   """Total efc rows contributed by contacts (from the static layout)."""
   from dm_control_tpu._src import efc

@@ -408,13 +408,14 @@ def fwd_acceleration(m: Model, d: Data) -> Data:
 
 
 @math.f32_dots
-def step1(m: Model, d: Data) -> Data:
+def step1(m: Model, d: Data, skipsensor: bool = False) -> Data:
   """Position + velocity stages + pos/vel sensors (mj_step1 analog)."""
   d = fwd_position(m, d)
   d = fwd_velocity(m, d)
-  from dm_control_tpu._src import sensor
-  d = sensor.sensors(m, d, stages='posvel')
-  d = _energy(m, d)
+  if not skipsensor:
+    from dm_control_tpu._src import sensor
+    d = sensor.sensors(m, d, stages='posvel')
+    d = _energy(m, d)
   return d
 
 
@@ -585,6 +586,51 @@ def step(m: Model, d: Data) -> Data:
   d = step1(m, d)
   d = _check_divergence(m, d)
   return d
+
+
+def _step_nosensor(m: Model, d: Data) -> Data:
+  """step() minus sensors/energy (identical dynamics)."""
+  d = _acc_stage(m, d, skipsensor=True)
+  if m.opt.integrator == Integrator.RK4:
+    d = rk4(m, d)
+  else:
+    d = euler(m, d)
+  d = step1(m, d, skipsensor=True)
+  return _check_divergence(m, d)
+
+
+# True integration state: everything else in Data is recomputed from
+# these by the pipeline stages each step.
+_STATE_FIELDS = ('time', 'qpos', 'qvel', 'act', 'ctrl', 'qfrc_applied',
+                 'xfrc_applied', 'qacc_warmstart', 'diverged', 'model_var')
+
+
+def substeps(m: Model, d: Data, n: int) -> Data:
+  """Advance `n` physics steps; final Data is step()-complete.
+
+  TPU-critical structure (profiled on humanoid@4096, v5e):
+  - The scan carries ONLY the integration state.  Carrying full Data
+    turns every derived field into a loop variable: trace-constant
+    contact body/geom ids become dynamic tensors, so downstream
+    Jacobian/sensor indexing lowers to real gathers/scatters
+    (s32[B*ncon] index vectors) plus per-iteration HBM copies of the
+    whole derived state.
+  - Sensors and energy are evaluated only on the last step.  Task code
+    reads them strictly at control-step boundaries, and the final
+    step's values are identical to the reference's per-substep loop;
+    inside the scan they were pure dead weight (~30% of the humanoid
+    substep).
+  """
+  if n <= 1:
+    return step(m, d)
+
+  def sub(st, _):
+    dd = _step_nosensor(m, d.replace(**st))
+    return {f: getattr(dd, f) for f in _STATE_FIELDS}, None
+
+  st0 = {f: getattr(d, f) for f in _STATE_FIELDS}
+  st, _ = jax.lax.scan(sub, st0, None, length=n - 1)
+  return step(m, d.replace(**st))
 
 
 def _check_divergence(m: Model, d: Data) -> Data:

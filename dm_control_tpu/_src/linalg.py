@@ -14,8 +14,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# above this size, fall back to the LAPACK-style batched primitives
-UNROLL_MAX_N = 20
+# above this size, fall back to the LAPACK-style batched primitives.
+# 32 covers humanoid (nv=27) and quadruped (nv=23): the XLA:TPU batched
+# Cholesky custom-call costs ~11.7 ms at (4096,27,27) per call (profiled;
+# 2 calls = 22% of the humanoid substep), while the unrolled form fuses
+# into surrounding VPU work.
+UNROLL_MAX_N = 32
 
 
 def _unroll(n: int) -> bool:

@@ -169,24 +169,38 @@ def _yaw_rot(yaw):
 
 
 class Task(ComposerTask):
-  """2-team soccer over a static pitch; see module docstring."""
+  """2-team soccer over a static or per-episode-randomized pitch; see
+  module docstring."""
 
   def __init__(self, team_size=1, pitch_size=(12.0, 9.0),
                goal_size=(3.0, 1.0), control_timestep=0.025,
-               walker_fn=_boxhead_xml):
+               walker_fn=_boxhead_xml, randomize_pitch=None):
+    """randomize_pitch: optional (min_scale, max_scale) with
+    max_scale <= 1: each episode draws independent x/y scale factors
+    and moves the walls/goals inward via the Data.model_var geom_pos
+    overlay (the reference's RandomizedPitch, pitch.py:605, rebuilds
+    MJCF per episode and therefore cannot batch; moving statically
+    oversized walls keeps the whole batch under one trace)."""
     super().__init__(arena=Entity(mjcf_root=_pitch_xml(
         pitch_size, goal_size), name='pitch'),
         control_timestep=control_timestep)
     self.team_size = team_size
     self.pitch_size = pitch_size
     self.goal_size = goal_size
+    self.randomize_pitch = randomize_pitch
+    if randomize_pitch is not None:
+      lo_s, hi_s = randomize_pitch
+      if not 0.0 < lo_s <= hi_s <= 1.0:
+        raise ValueError('randomize_pitch scales must satisfy '
+                         f'0 < min <= max <= 1, got {randomize_pitch}')
     self.players = []
     for team, rgba in ((Team.HOME, _RGBA_HOME), (Team.AWAY, _RGBA_AWAY)):
       for i in range(team_size):
         name = f'{team.value}{i}'
         self.attach(Entity(mjcf_root=walker_fn(rgba), name=name))
         self.players.append(Player(team, name, slice(0, 0)))
-    self.attach(Entity(mjcf_root=_soccer_ball_xml(), name='ball'))
+    ball_entity = Entity(mjcf_root=_soccer_ball_xml(), name='ball')
+    self.attach(ball_entity)
     m = self.compile()
     nu_per = 3
     self.players = [
@@ -209,6 +223,13 @@ class Task(ComposerTask):
     home_sign = jnp.asarray(
         [1.0 if p.team == Team.HOME else -1.0 for p in self.players])
 
+    def pitch_scale(d):
+      """Per-episode (sx, sy) wall scale; (1, 1) on a static pitch."""
+      mv = d.model_var or {}
+      if '_pitch_scale' in mv:
+        return jnp.asarray(mv['_pitch_scale'], d.qpos.dtype)
+      return jnp.ones(2, d.qpos.dtype)
+
     def ball_pos(d):
       return d.qpos[ball_q:ball_q + 3]
 
@@ -218,10 +239,87 @@ class Task(ComposerTask):
     def scored(d):
       """+1 home scored (ball in +x goal), -1 away scored, else 0."""
       x = d.qpos[ball_q]
-      return ((x > self._goal_x).astype(d.qpos.dtype)
-              - (x < -self._goal_x).astype(d.qpos.dtype))
+      gx = pitch_scale(d)[0] * length + _BALL_RADIUS
+      return ((x > gx).astype(d.qpos.dtype)
+              - (x < -gx).astype(d.qpos.dtype))
 
     self._scored = scored
+    self._pitch_scale = pitch_scale
+
+    # --- ball-touch statistics (reference soccer_ball.py:39-150) ---------
+    # Static contact slots between each player's geoms and the ball let
+    # hit/repossession/interception tracking run entirely in-graph.
+    from dm_control_tpu._src import collision as _collision
+    ball_geom = m.name2id('geom', 'ball/ball_geom')
+    n_players = len(self.players)
+    player_slots = []
+    for p in self.players:
+      slots = []
+      for gname in ('shell', 'head', 'arm_l', 'arm_r'):
+        try:
+          gid = m.name2id('geom', f'{p.name}/{gname}')
+        except KeyError:
+          continue
+        slots.extend(_collision.contact_slots(m, gid, ball_geom).tolist())
+      player_slots.append(np.asarray(slots, np.int32))
+    self._player_ball_slots = player_slots
+
+    # stats vector layout in model_var['_ball_stats']:
+    #   [0:n]   last-hit one-hot over players
+    #   [n]     ever_hit, [n+1] hit (this step), [n+2] repossessed,
+    #   [n+3]   intercepted, [n+4] time since last hit (control steps)
+    _S = n_players
+
+    def _stats_init(dtype):
+      return jnp.zeros(n_players + 5, dtype)
+
+    def _ball_stats_hook(m_, d, key, prefix):
+      dtype = d.qpos.dtype
+      mv = dict(d.model_var or {})
+      stats = jnp.asarray(
+          mv.get('_ball_stats', _stats_init(dtype)), dtype)
+      hits = jnp.stack([
+          (d.contact.dist[s] < 0).any() if s.size
+          else jnp.zeros((), bool) for s in player_slots])
+      hit_any = hits.any()
+      onehot = jax.nn.one_hot(jnp.argmax(hits), n_players, dtype=dtype)
+      last = stats[:_S]
+      had_last = last.sum() > 0
+      new_last = jnp.where(hit_any, onehot, last)
+      # repossessed: touched by a different player than the previous
+      # toucher; intercepted: by the other team (ref soccer_ball.py:117)
+      diff_player = (onehot * last).sum() < 0.5
+      team_vec = home_sign.astype(dtype)
+      diff_team = jnp.abs((onehot * team_vec).sum()
+                          - (last * team_vec).sum()) > 0.5
+      repossessed = hit_any & had_last & diff_player
+      intercepted = hit_any & had_last & diff_team
+      mv['_ball_stats'] = jnp.concatenate([
+          new_last,
+          jnp.stack([
+              jnp.maximum(stats[_S], hit_any.astype(dtype)),
+              hit_any.astype(dtype),
+              repossessed.astype(dtype),
+              intercepted.astype(dtype),
+              jnp.where(hit_any, 0.0, stats[_S + 4] + 1.0),
+          ])])
+      return d.replace(model_var=mv)
+
+    ball_entity.after_step_hook = _ball_stats_hook
+
+    def _stats(d):
+      mv = d.model_var or {}
+      return jnp.asarray(
+          mv.get('_ball_stats', _stats_init(d.qpos.dtype)), d.qpos.dtype)
+
+    self.add_observable('ball/hit', ObservableSpec(
+        fn=lambda m_, d: _stats(d)[_S + 1]))
+    self.add_observable('ball/repossessed', ObservableSpec(
+        fn=lambda m_, d: _stats(d)[_S + 2]))
+    self.add_observable('ball/intercepted', ObservableSpec(
+        fn=lambda m_, d: _stats(d)[_S + 3]))
+    self.add_observable('ball/time_since_hit', ObservableSpec(
+        fn=lambda m_, d: _stats(d)[_S + 4]))
 
     # --- per-player observables ------------------------------------------
     goals = jnp.asarray([[length, 0.0, 0.0], [-length, 0.0, 0.0]])
@@ -263,8 +361,39 @@ class Task(ComposerTask):
                 for i, a in enumerate(o_idx)])))
       self.add_observable(f'{p.name}/goals_ego', make(
           lambda m_, d, qx=qx, ego=ego: jnp.concatenate([
-              ego(d, goals[0, :2] - d.qpos[qx:qx + 2]),
-              ego(d, goals[1, :2] - d.qpos[qx:qx + 2])])))
+              ego(d, pitch_scale(d)[0] * goals[0, :2] - d.qpos[qx:qx + 2]),
+              ego(d, pitch_scale(d)[0] * goals[1, :2]
+                  - d.qpos[qx:qx + 2])])))
+
+      # --- per-player game statistics (ref observables.py:31-360) --------
+      p_idx = self.players.index(p)
+      goal_sign = 1.0 if p.team == Team.HOME else -1.0
+
+      def vel_to_ball(d, qx=qx, dx=dx):
+        rel = ball_pos(d)[:2] - d.qpos[qx:qx + 2]
+        rel = rel / jnp.maximum(jnp.linalg.norm(rel), 1e-6)
+        return jnp.dot(d.qvel[dx:dx + 2], rel)
+
+      self.add_observable(f'{p.name}/stats_vel_to_ball', make(
+          lambda m_, d, f=vel_to_ball: f(d)))
+      self.add_observable(f'{p.name}/stats_veloc_forward', make(
+          lambda m_, d, dx=dx, qs=qs: (
+              _yaw_rot(d.qpos[qs]) @ d.qvel[dx:dx + 2])[0]))
+      self.add_observable(f'{p.name}/stats_vel_ball_to_goal', make(
+          lambda m_, d, gs=goal_sign: gs * ball_vel(d)[0]))
+      self.add_observable(f'{p.name}/stats_hit', make(
+          lambda m_, d, s=player_slots[p_idx]: (
+              (d.contact.dist[s] < 0).any().astype(d.qpos.dtype)
+              if s.size else jnp.zeros((), d.qpos.dtype))))
+      self.add_observable(f'{p.name}/stats_last_hit', make(
+          lambda m_, d, i=p_idx: _stats(d)[i]))
+      if len(others) and team_size > 1:
+        mates = np.asarray([slides[o.name][0] for o in others
+                            if o.team == p.team])
+        self.add_observable(f'{p.name}/stats_avg_teammate_dist', make(
+            lambda m_, d, qx=qx, mates=mates: jnp.mean(jnp.stack([
+                jnp.linalg.norm(d.qpos[a:a + 2] - d.qpos[qx:qx + 2])
+                for a in mates]))))
 
     # --- reward / termination / init -------------------------------------
     def reward(m_, d):
@@ -274,29 +403,50 @@ class Task(ComposerTask):
     self.set_reward(reward)
     self.set_termination(lambda m_, d: self._scored(d) != 0)
 
+    # pitch geoms whose x/y positions scale with the per-episode pitch
+    # size (walls + nets; the ground plane is oversized and stays put).
+    # Arena geoms are attached unprefixed.
+    pitch_geom_ids = np.asarray(
+        [i for n_, i in m.names['geom'].items()
+         if '/' not in n_ and n_ != 'ground'], np.int32)
+    assert pitch_geom_ids.size >= 12, m.names['geom']
+
     def init(m_, d, key):
       """Uniform throw-in: players and ball uniformly on the field
       with random headings (reference initializers.py
-      UniformInitializer)."""
+      UniformInitializer); optional per-episode pitch rescale."""
       dtype = d.qpos.dtype
       n = len(self.players)
-      keys = jax.random.split(key, n + 1)
+      keys = jax.random.split(key, n + 2)
+      mv = dict(d.model_var or {})
+      if self.randomize_pitch is not None:
+        lo_s, hi_s = self.randomize_pitch
+        scale = jax.random.uniform(keys[n + 1], (2,), dtype, lo_s, hi_s)
+        base = jnp.asarray(m_.geom_pos, dtype)
+        scaled = base.at[pitch_geom_ids, 0].mul(scale[0])
+        scaled = scaled.at[pitch_geom_ids, 1].mul(scale[1])
+        mv['geom_pos'] = scaled
+        mv['_pitch_scale'] = scale
+        sx, sy = scale[0], scale[1]
+      else:
+        sx = sy = jnp.ones((), dtype)
+      mv['_ball_stats'] = _stats_init(dtype)
       qpos = d.qpos
       for i, p in enumerate(self.players):
         qx, _, qs, _ = slides[p.name]
         xy = jax.random.uniform(
             keys[i], (2,), dtype,
-            jnp.asarray([-length * 0.8, -pitch_size[1] * 0.8], dtype),
-            jnp.asarray([length * 0.8, pitch_size[1] * 0.8], dtype))
+            -jnp.stack([sx * length * 0.8, sy * pitch_size[1] * 0.8]),
+            jnp.stack([sx * length * 0.8, sy * pitch_size[1] * 0.8]))
         yaw = jax.random.uniform(keys[i], (), dtype, 0, 2 * np.pi)
         qpos = qpos.at[qx:qx + 2].set(xy).at[qs].set(yaw)
       bxy = jax.random.uniform(
           keys[n], (2,), dtype,
-          jnp.asarray([-length * 0.5, -pitch_size[1] * 0.5], dtype),
-          jnp.asarray([length * 0.5, pitch_size[1] * 0.5], dtype))
+          -jnp.stack([sx * length * 0.5, sy * pitch_size[1] * 0.5]),
+          jnp.stack([sx * length * 0.5, sy * pitch_size[1] * 0.5]))
       qpos = qpos.at[ball_q:ball_q + 2].set(bxy)
       qpos = qpos.at[ball_q + 2].set(jnp.asarray(0.5, dtype))
-      return d.replace(qpos=qpos)
+      return d.replace(qpos=qpos, model_var=mv)
 
     self.add_init_hook(init)
 
@@ -306,16 +456,19 @@ class Task(ComposerTask):
 
 
 def load(team_size=1, time_limit=45.0, random=None, batch_size=None,
-         pitch_size=(12.0, 9.0), goal_size=(3.0, 1.0)):
+         pitch_size=(12.0, 9.0), goal_size=(3.0, 1.0),
+         randomize_pitch=None):
   """team_size-vs-team_size soccer (reference soccer/__init__.py:78).
 
   Returns a composer Environment whose action is the flat
   (3 * 2 * team_size,) ctrl vector and whose reward is a
-  (2 * team_size,) per-player vector."""
+  (2 * team_size,) per-player vector.  randomize_pitch=(lo, hi)
+  enables the per-episode pitch-size variation (reference
+  RandomizedPitch, pitch.py:605)."""
   if not 1 <= team_size <= 11:
     raise ValueError(f'team_size must be in [1, 11], got {team_size}')
   task = Task(team_size=team_size, pitch_size=pitch_size,
-              goal_size=goal_size)
+              goal_size=goal_size, randomize_pitch=randomize_pitch)
   if batch_size:
     return BatchedEnvironment(task, batch_size, time_limit=time_limit)
   return Environment(task, time_limit=time_limit, random=random)

@@ -73,13 +73,22 @@ class BatchedEnv:
 
     pool_resets = task.expensive_init
 
+    # Auto-reset moves ONLY the integration state: derived fields are
+    # recomputed by the next substeps() call before anything reads them,
+    # so gathering/selecting them here would be pure HBM traffic (full
+    # Data is ~5x the state size), and a state-only pool lets XLA DCE
+    # the forward() inside fresh-lane inits.
+    _state_of = lambda dd: {f: getattr(dd, f)
+                            for f in _forward._STATE_FIELDS}
+
     def _reset(key):
       keys = jax.random.split(key, batch_size)
       data = jax.vmap(_init_one)(keys)
       if pool_resets:
-        pool = data  # reuse the initial batch as the reset pool
+        pool = _state_of(data)  # reuse the initial batch as the reset pool
       else:
-        pool = jax.tree_util.tree_map(lambda x: x[:1], data)  # tiny stub
+        pool = jax.tree_util.tree_map(
+            lambda x: x[:1], _state_of(data))  # tiny stub
       return RunnerState(
           data=data,
           step_count=jnp.zeros(batch_size, jnp.int32),
@@ -88,11 +97,7 @@ class BatchedEnv:
           reset_pool=pool)
 
     def _env_step_one(d, action):
-      d = d.replace(ctrl=action)
-      def sub(dd, _):
-        return _forward.step(m, dd), None
-      d, _ = jax.lax.scan(sub, d, None, length=n_sub)
-      return d
+      return _forward.substeps(m, d.replace(ctrl=action), n_sub)
 
     def _step(state: RunnerState, actions):
       d = jax.vmap(_env_step_one)(state.data, actions)
@@ -106,6 +111,10 @@ class BatchedEnv:
       truncated = step_count >= step_limit
       done = terminated | truncated | d.diverged
       discount = jnp.where(terminated | d.diverged, 0.0, 1.0)
+      # diverged lanes: the reference raises PhysicsError and emits a
+      # LAST step with no meaningful reward (rl/control.py:101-130);
+      # in-graph, the NaN state must not leak into the reward stream
+      reward = jnp.where(d.diverged, 0.0, reward)
 
       if self.auto_reset:
         if pool_resets:
@@ -120,8 +129,8 @@ class BatchedEnv:
           new_keys = jax.vmap(
               lambda k, e: jax.random.fold_in(k, e))(
                   state.rng, state.episode_id + 1)
-          fresh = jax.vmap(_init_one)(new_keys)
-        data = _tree_select(done, fresh, d)
+          fresh = _state_of(jax.vmap(_init_one)(new_keys))
+        data = d.replace(**_tree_select(done, fresh, _state_of(d)))
         step_count = jnp.where(done, 0, step_count)
         episode_id = state.episode_id + done.astype(jnp.int32)
       else:

@@ -297,14 +297,15 @@ class InteractiveViewer:
 
     self._httpd = ThreadingHTTPServer(('0.0.0.0', self.port), Handler)
     self.port = self._httpd.server_address[1]
-    server_thread = threading.Thread(
+    self._server_thread = threading.Thread(
         target=self._httpd.serve_forever, daemon=True)
-    server_thread.start()
+    self._server_thread.start()
     if open_msg:
       print(f'viewer serving on http://localhost:{self.port}')
     if not block:
-      loop_thread = threading.Thread(target=self._blocking_loop, daemon=True)
-      loop_thread.start()
+      self._loop_thread = threading.Thread(
+          target=self._blocking_loop, daemon=True)
+      self._loop_thread.start()
       return self
     try:
       self._blocking_loop()
@@ -325,10 +326,20 @@ class InteractiveViewer:
         time.sleep(budget)
 
   def close(self):
+    """Stop and JOIN both threads.  The sim loop runs jax/numpy; leaving
+    it alive after close corrupts process-global numpy errstate for any
+    code running on other threads (observed: np.testing.assert_allclose
+    raising 'truth value of an array is ambiguous' in unrelated tests
+    sharing the worker process)."""
     self._stop.set()
     if self._httpd is not None:
       self._httpd.shutdown()
       self._httpd = None
+    for attr in ('_loop_thread', '_server_thread'):
+      t = getattr(self, attr, None)
+      if t is not None and t.is_alive():
+        t.join(timeout=10.0)
+      setattr(self, attr, None)
 
 
 def launch(env, policy: Optional[Callable] = None, port: int = 8844,

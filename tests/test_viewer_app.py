@@ -68,19 +68,27 @@ def test_select_and_perturb(viewer):
   assert viewer.perturb.body_id == -1
 
 
-def test_http_server_roundtrip(viewer):
-  viewer.serve(block=False, open_msg=False)
-  base = f'http://127.0.0.1:{viewer.port}'
-  page = urllib.request.urlopen(f'{base}/', timeout=10).read()
-  assert b'viewer' in page
-  status = json.loads(
-      urllib.request.urlopen(f'{base}/status', timeout=10).read())
-  assert status['state']
-  req = urllib.request.Request(
-      f'{base}/api', data=json.dumps({'op': 'pause'}).encode(),
-      method='POST')
-  out = json.loads(urllib.request.urlopen(req, timeout=10).read())
-  assert out['ok']
-  # frame endpoint serves a PNG once the loop has rendered
-  png = urllib.request.urlopen(f'{base}/frame.png', timeout=10).read()
-  assert png[:8] == b'\x89PNG\r\n\x1a\n'
+def test_http_server_roundtrip():
+  # OWN viewer instance, closed in-test: serve() starts a 25 Hz sim-loop
+  # thread, and a live jax/numpy thread outliving the test corrupts
+  # numpy errstate for every other test sharing this worker process
+  env = suite.load('cartpole', 'swingup', task_kwargs={'random': 4})
+  v = viewer_app.InteractiveViewer(env, height=60, width=80, port=0)
+  try:
+    v.serve(block=False, open_msg=False)
+    base = f'http://127.0.0.1:{v.port}'
+    page = urllib.request.urlopen(f'{base}/', timeout=10).read()
+    assert b'viewer' in page
+    status = json.loads(
+        urllib.request.urlopen(f'{base}/status', timeout=10).read())
+    assert status['state']
+    req = urllib.request.Request(
+        f'{base}/api', data=json.dumps({'op': 'pause'}).encode(),
+        method='POST')
+    out = json.loads(urllib.request.urlopen(req, timeout=10).read())
+    assert out['ok']
+    # frame endpoint serves a PNG once the loop has rendered
+    png = urllib.request.urlopen(f'{base}/frame.png', timeout=10).read()
+    assert png[:8] == b'\x89PNG\r\n\x1a\n'
+  finally:
+    v.close()

@@ -21,7 +21,7 @@ def test_kernel_parity_on_chip(domain, task_name):
   setting no f32 implementation can reach."""
   res = tpu_checks.kernel_parity_one(domain, task_name, batch=128)
   assert res['mean_err'] <= 1e-4, res
-  assert res['max_err'] <= 2e-2, res
+  assert res['max_err'] <= 5e-2, res
   assert res['lanes_over_1e3'] <= res['batch'] // 10, res
 
 

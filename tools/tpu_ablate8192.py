@@ -16,8 +16,8 @@ if len(sys.argv) == 1:
   for ab in ABLATIONS:
     r = subprocess.run([sys.executable, __file__, ab],
                        capture_output=True, text=True, timeout=1500)
-    last = [l for l in (r.stdout + r.stderr).splitlines()
-            if l.strip()][-1] if (r.stdout + r.stderr).strip() else ''
+    src = r.stdout if r.stdout.strip() else r.stderr
+    last = [l for l in src.splitlines() if l.strip()][-1] if src.strip() else ''
     print(f'{ab:16s} rc={r.returncode}  {last[:110]}', flush=True)
   sys.exit(0)
 
