@@ -588,17 +588,6 @@ def step(m: Model, d: Data) -> Data:
   return d
 
 
-def _step_nosensor(m: Model, d: Data) -> Data:
-  """step() minus sensors/energy (identical dynamics)."""
-  d = _acc_stage(m, d, skipsensor=True)
-  if m.opt.integrator == Integrator.RK4:
-    d = rk4(m, d)
-  else:
-    d = euler(m, d)
-  d = step1(m, d, skipsensor=True)
-  return _check_divergence(m, d)
-
-
 # True integration state: everything else in Data is recomputed from
 # these by the pipeline stages each step.
 _STATE_FIELDS = ('time', 'qpos', 'qvel', 'act', 'ctrl', 'qfrc_applied',
@@ -615,22 +604,39 @@ def substeps(m: Model, d: Data, n: int) -> Data:
     Jacobian/sensor indexing lowers to real gathers/scatters
     (s32[B*ncon] index vectors) plus per-iteration HBM copies of the
     whole derived state.
+  - To make the minimal carry possible, each iteration runs in the
+    STANDARD order (position/velocity stages, then acc+solve, then
+    integrate) instead of the reference's legacy acc-then-step1
+    bracketing.  The composed trajectory is IDENTICAL: legacy substep
+    k's acc stage consumes step1 outputs computed at the end of
+    substep k-1 at the same state where we recompute them (step1 is a
+    pure function of the state).  A trailing full step() restores the
+    legacy invariant that the returned Data's acc-stage quantities
+    (qacc, contact forces, touch sensors) are from the final
+    pre-integration state and its position/velocity-derived fields
+    match the final qpos/qvel.
   - Sensors and energy are evaluated only on the last step.  Task code
-    reads them strictly at control-step boundaries, and the final
-    step's values are identical to the reference's per-substep loop;
-    inside the scan they were pure dead weight (~30% of the humanoid
-    substep).
+    reads them strictly at control-step boundaries; inside the scan
+    they were pure dead weight (~30% of the humanoid substep).
   """
   if n <= 1:
     return step(m, d)
 
   def sub(st, _):
-    dd = _step_nosensor(m, d.replace(**st))
+    dd = d.replace(**st)
+    dd = step1(m, dd, skipsensor=True)
+    dd = _acc_stage(m, dd, skipsensor=True)
+    if m.opt.integrator == Integrator.RK4:
+      dd = rk4(m, dd)
+    else:
+      dd = euler(m, dd)
+    dd = _check_divergence(m, dd)
     return {f: getattr(dd, f) for f in _STATE_FIELDS}, None
 
   st0 = {f: getattr(d, f) for f in _STATE_FIELDS}
   st, _ = jax.lax.scan(sub, st0, None, length=n - 1)
-  return step(m, d.replace(**st))
+  dd = step1(m, d.replace(**st), skipsensor=True)  # sync for the acc stage
+  return step(m, dd)
 
 
 def _check_divergence(m: Model, d: Data) -> Data:

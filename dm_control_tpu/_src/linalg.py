@@ -15,11 +15,11 @@ import jax
 import jax.numpy as jnp
 
 # above this size, fall back to the LAPACK-style batched primitives.
-# 32 covers humanoid (nv=27) and quadruped (nv=23): the XLA:TPU batched
-# Cholesky custom-call costs ~11.7 ms at (4096,27,27) per call (profiled;
-# 2 calls = 22% of the humanoid substep), while the unrolled form fuses
-# into surrounding VPU work.
-UNROLL_MAX_N = 32
+# Kept at 20: batched TPU factor/solve now routes to the Pallas kernel
+# (see the dispatch section below), and raising the unroll ceiling
+# multiplies the HLO program per call site (measured: 20+ minute remote
+# compiles for humanoid rollouts at UNROLL_MAX_N=32).
+UNROLL_MAX_N = 20
 
 
 def _unroll(n: int) -> bool:
@@ -29,7 +29,7 @@ def _unroll(n: int) -> bool:
   return n <= UNROLL_MAX_N and jax.default_backend() != 'cpu'
 
 
-def cholesky(a: jax.Array) -> jax.Array:
+def _cholesky_impl(a: jax.Array) -> jax.Array:
   """Lower-triangular Cholesky factor of (..., n, n) SPD matrices."""
   n = a.shape[-1]
   if not _unroll(n):
@@ -52,7 +52,7 @@ def cholesky(a: jax.Array) -> jax.Array:
   return jnp.stack(rows, axis=-2)
 
 
-def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
+def _cho_solve_impl(l: jax.Array, b: jax.Array) -> jax.Array:
   """Solve A x = b given the lower Cholesky factor of A; b is (..., n)."""
   n = l.shape[-1]
   if not _unroll(n):
@@ -74,6 +74,77 @@ def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
   return jnp.stack(x, axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Public entry points.
+#
+# Under ONE level of vmap on TPU (the batched-environment axis) the
+# factor/solve dispatches to the Pallas kernel (ops/linalg_kernel.py):
+# one Mosaic compile shared by every call site, VMEM-resident matrices,
+# no 11.7ms-per-call XLA custom-calls and no unrolled-HLO program
+# blowup.  Anywhere else (CPU float64 oracle parity, nested vmap, n >
+# MAX_N, DMC_TPU_DISABLE_PALLAS=1) the jnp implementations above run.
+# ---------------------------------------------------------------------------
+
+
+def _pallas_wanted(n: int) -> bool:
+  import os
+  from dm_control_tpu.ops import linalg_kernel
+  return (jax.default_backend() == 'tpu' and n <= linalg_kernel.MAX_N
+          and os.environ.get('DMC_TPU_DISABLE_PALLAS') != '1')
+
+
+def _bcast(x, axis_size, batched):
+  return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+
+@jax.custom_batching.custom_vmap
+def cholesky(a: jax.Array) -> jax.Array:
+  return _cholesky_impl(a)
+
+
+@cholesky.def_vmap
+def _cholesky_vmap(axis_size, in_batched, a):
+  a = _bcast(a, axis_size, in_batched[0])
+  if a.ndim == 3 and _pallas_wanted(a.shape[-1]):
+    from dm_control_tpu.ops import linalg_kernel
+    return linalg_kernel.cholesky_batched(a), True
+  return jax.vmap(_cholesky_impl)(a), True
+
+
+@jax.custom_batching.custom_vmap
+def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
+  return _cho_solve_impl(l, b)
+
+
+@cho_solve.def_vmap
+def _cho_solve_vmap(axis_size, in_batched, l, b):
+  l = _bcast(l, axis_size, in_batched[0])
+  b = _bcast(b, axis_size, in_batched[1])
+  if l.ndim == 3 and b.ndim == 2 and _pallas_wanted(l.shape[-1]):
+    from dm_control_tpu.ops import linalg_kernel
+    return linalg_kernel.cho_solve_batched(l, b), True
+  return jax.vmap(_cho_solve_impl)(l, b), True
+
+
+@jax.custom_batching.custom_vmap
 def solve_psd(a: jax.Array, b: jax.Array) -> jax.Array:
   """x = a^-1 b for SPD a, (..., n, n) @ (..., n)."""
-  return cho_solve(cholesky(a), b)
+  return _cho_solve_impl(_cholesky_impl(a), b)
+
+
+@solve_psd.def_vmap
+def _solve_psd_vmap(axis_size, in_batched, a, b):
+  a = _bcast(a, axis_size, in_batched[0])
+  b = _bcast(b, axis_size, in_batched[1])
+  if a.ndim == 3 and b.ndim == 2 and _pallas_wanted(a.shape[-1]):
+    from dm_control_tpu.ops import linalg_kernel
+    return linalg_kernel.chol_solve_batched(a, b), True
+  return jax.vmap(lambda aa, bb: _cho_solve_impl(_cholesky_impl(aa), bb))(
+      a, b), True
+
+
+# direct (non-dispatching) aliases for call sites that nest an inner
+# row-vmap inside the environment vmap (e.g. the noslip post-pass) —
+# nested vmap over the kernel dispatch is not supported
+cholesky_direct = _cholesky_impl
+cho_solve_direct = _cho_solve_impl

@@ -207,16 +207,29 @@ def quat_integrate(q: jax.Array, omega: jax.Array, dt) -> jax.Array:
   return normalize(nq)
 
 
-def quat_sub(qa: jax.Array, qb: jax.Array) -> jax.Array:
-  """Velocity (3-vector, local frame) that takes qb to qa in unit time."""
-  dq = quat_mul(quat_conj(qb), qa)
-  # 2 * log(dq)
+def _quat_log_vel(dq: jax.Array) -> jax.Array:
+  """2 * log(dq) as an axis*angle 3-vector, angle wrapped to [-pi, pi]."""
   sin_half = norm_safe(dq[..., 1:])
   axis = normalize(dq[..., 1:])
   angle = 2.0 * jnp.arctan2(sin_half, dq[..., 0])
-  # wrap to [-pi, pi]
   angle = jnp.where(angle > jnp.pi, angle - 2 * jnp.pi, angle)
   return axis * angle[..., None]
+
+
+def quat_sub(qa: jax.Array, qb: jax.Array) -> jax.Array:
+  """Velocity (3-vector, LOCAL frame of qb) that takes qb to qa in unit
+  time (mju_subQuat semantics)."""
+  return _quat_log_vel(quat_mul(quat_conj(qb), qa))
+
+
+def quat_sub_world(qa: jax.Array, qb: jax.Array) -> jax.Array:
+  """WORLD-frame velocity taking qb to qa in unit time: log(qa * qb^-1).
+
+  This is the frame the angular-velocity Jacobian (cdof-based jacr) is
+  expressed in — the reference's IK builds exactly this error
+  (mju_mulQuat(err, target, neg(site)) + mju_quat2Vel,
+  utils/inverse_kinematics.py:160-165 there)."""
+  return _quat_log_vel(quat_mul(qa, quat_conj(qb)))
 
 
 # ---------------------------------------------------------------------------

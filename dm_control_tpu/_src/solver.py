@@ -192,7 +192,10 @@ def _noslip(m: Model, lay: efc.Layout, d: Data, x, force):
   from dm_control_tpu._src import linalg
   J = d.efc_J
   # M^-1 J^T rows via the cached Cholesky factor
-  minv_jt = jax.vmap(lambda r: linalg.cho_solve(d.qLD, r))(J)  # (nefc, nv)
+  # cho_solve_direct: this row-vmap nests inside the environment vmap,
+  # and the kernel-dispatching cho_solve only supports one vmap level
+  minv_jt = jax.vmap(
+      lambda r: linalg.cho_solve_direct(d.qLD, r))(J)  # (nefc, nv)
   diag_a = jnp.maximum(jnp.einsum('iv,iv->i', J, minv_jt), 1e-12)
   c = lay.contact
   fric_rows = np.where(lay.types == FRICTION)[0]

@@ -68,7 +68,9 @@ def qpos_from_site_pose(
     if target_quat is not None:
       _, jacr = _smooth.jac(m, dd, dd.site_xpos[site], bodyid)
       site_quat = _math.mat_to_quat(dd.site_xmat[site])
-      err_rot = _math.quat_sub(jnp.asarray(target_quat, dtype), site_quat)
+      # world-frame rotational error to match the world-frame jacr
+      err_rot = _math.quat_sub_world(jnp.asarray(target_quat, dtype),
+                                     site_quat)
       rows.append(jacr.T * rot_weight)
       errs.append(err_rot * rot_weight)
     jac = jnp.concatenate(rows, axis=0) * mask[None, :]

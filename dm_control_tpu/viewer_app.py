@@ -338,7 +338,14 @@ class InteractiveViewer:
     for attr in ('_loop_thread', '_server_thread'):
       t = getattr(self, attr, None)
       if t is not None and t.is_alive():
-        t.join(timeout=10.0)
+        # long timeout: the loop thread may be inside its first XLA
+        # compile (~1 min); abandoning it keeps a live jax/numpy thread
+        # in the process, which corrupts numpy errstate for other code
+        t.join(timeout=120.0)
+        if t.is_alive():
+          import warnings
+          warnings.warn('viewer thread did not exit within 120s; '
+                        'jax/numpy global state may be corrupted')
       setattr(self, attr, None)
 
 

@@ -75,3 +75,69 @@ def test_jaco_arm_entity():
   n = ts.observation['jaco/joints_vel'].shape[0]
   assert n >= 7  # 7 arm joints (+ finger joints)
   assert ts.observation['jaco/joints_pos'].shape == (2 * n,)
+
+
+def test_robot_arm_hand_abstraction_tier():
+  """RobotArm/RobotHand surface (reference entities/manipulators/
+  base.py:44,185): joint bounds, in-graph randomization, grasp
+  mapping, IK set_site_to_xpos with retry."""
+  import jax
+  import jax.numpy as jnp
+  from dm_control_tpu._src import forward as fwd
+  from dm_control_tpu.entities.manipulators import JacoArm, JacoHand
+
+  arm = JacoArm()
+  hand = JacoHand()
+  task = ComposerTask(arena=_floor(), control_timestep=0.02)
+  task.attach(arm)
+  m = task.compile()
+
+  assert arm.attachment_site == 'jaco/wrist_site'
+  assert hand.tool_center_point == 'jaco/pinch_site'
+  m.name2id('site', 'jaco/wrist_site')   # raises if the site is absent
+  m.name2id('site', 'jaco/pinch_site')
+
+  bounds = arm.joint_pos_sampling_bounds(m)
+  assert bounds.shape == (2, 7)
+  assert (bounds[1] >= bounds[0]).all()
+
+  d = fwd.forward(m, fwd.make_data(m))
+  d1 = arm.randomize_arm_joints(m, d, jax.random.PRNGKey(0))
+  d2 = arm.randomize_arm_joints(m, d, jax.random.PRNGKey(1))
+  qs, _ = arm.joint_addrs(m)
+  assert not np.allclose(np.asarray(d1.qpos)[qs], np.asarray(d2.qpos)[qs])
+  q = np.asarray(d1.qpos)[qs]
+  assert (q >= bounds[0] - 1e-9).all() and (q <= bounds[1] + 1e-9).all()
+
+  # grasp: close factor 0 -> open qpos, 1 -> closed qpos
+  d_open = hand.set_grasp(m, d, 0.0)
+  d_shut = hand.set_grasp(m, d, 1.0)
+  fq = [m.jnt_qposadr[m.name2id('joint', f'jaco/{n}')]
+        for n in ('jaco_joint_finger_1', 'jaco_joint_finger_2',
+                  'jaco_joint_finger_3')]
+  np.testing.assert_allclose(np.asarray(d_open.qpos)[fq], 0.0, atol=1e-9)
+  np.testing.assert_allclose(np.asarray(d_shut.qpos)[fq], 1.1, atol=1e-9)
+
+  # IK, position-only: any reachable point solves exactly
+  target = jnp.asarray([0.3, 0.2, 0.4])
+  d_ik, ok = arm.set_site_to_xpos(
+      m, d, jax.random.PRNGKey(2), 'jaco/pinch_site', target,
+      target_quat=None)
+  d_ik = fwd.forward(m, d_ik)
+  site = m.name2id('site', 'jaco/pinch_site')
+  err = float(jnp.linalg.norm(d_ik.site_xpos[site] - target))
+  assert bool(ok), f'IK failed, err={err:.4f}'
+  assert err < 2e-3, err
+
+  # IK with orientation: a pose known feasible (FK of a random config)
+  from dm_control_tpu.utils import transformations as tr
+  d_goal = fwd.forward(m, arm.randomize_arm_joints(
+      m, d, jax.random.PRNGKey(5)))
+  goal_pos = d_goal.site_xpos[site]
+  goal_quat = tr.mat_to_quat(np.asarray(d_goal.site_xmat[site]))
+  d_ik2, ok2 = arm.set_site_to_xpos(
+      m, d, jax.random.PRNGKey(6), 'jaco/pinch_site', goal_pos,
+      target_quat=jnp.asarray(goal_quat), pos_tol=5e-3)
+  d_ik2 = fwd.forward(m, d_ik2)
+  err2 = float(jnp.linalg.norm(d_ik2.site_xpos[site] - goal_pos))
+  assert bool(ok2), f'pose IK failed, err={err2:.4f}'

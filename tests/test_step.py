@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from dm_control_tpu._src import engine
+from dm_control_tpu._src import forward
 
 from conftest import SUITE_DIR
 
@@ -70,3 +71,46 @@ def test_trajectory_parity(xml, n_steps, atol):
     max_err = max(max_err, err)
     assert err < atol, f'{xml} diverged at step {t}: |dqpos|={err:.3e}'
   assert np.abs(np.asarray(d.qvel) - rd.qvel).max() < atol * 100
+
+
+def test_substeps_matches_per_step_loop():
+  """substeps() (minimal-carry scan, standard stage order) must
+  reproduce the legacy per-step loop EXACTLY: same trajectory, same
+  final derived fields, same sensordata.  Guards against derived state
+  (contacts/Jacobians) going stale across the scan carry — a bug that
+  once made the acc stage solve with control-step-initial contacts."""
+  import jax
+  from dm_control_tpu import suite as _suite
+
+  for dom, task_name, n in [('walker', 'walk', 10), ('humanoid', 'run', 5)]:
+    task = _suite.build_task(dom, task_name)
+    m = task.model
+    d = forward.make_data(m)
+    d = task.init_episode(m, d, jax.random.PRNGKey(3))
+    d = forward.forward(m, d)
+    lo = np.where(m.actuator_ctrllimited, m.actuator_ctrlrange[:, 0], -1.0)
+    hi = np.where(m.actuator_ctrllimited, m.actuator_ctrlrange[:, 1], 1.0)
+    ctrl = jnp.asarray(
+        np.random.RandomState(0).uniform(lo, hi), d.qpos.dtype)
+    d = d.replace(ctrl=ctrl)
+
+    a = forward.substeps(m, d, n)
+    b = d
+    for _ in range(n):
+      b = forward.step(m, b)
+
+    # not bitwise: the fused scan body schedules f64 ops differently
+    # from the eager per-step loop (measured 2.4e-11 over 5 humanoid
+    # contact steps); the stale-derived-state bug this guards against
+    # shows up at 1e-2+
+    np.testing.assert_allclose(a.qpos, b.qpos, atol=1e-8, rtol=0,
+                               err_msg=f'{dom} qpos')
+    np.testing.assert_allclose(a.qvel, b.qvel, atol=1e-8, rtol=0,
+                               err_msg=f'{dom} qvel')
+    np.testing.assert_allclose(a.qacc, b.qacc, atol=1e-6, rtol=1e-6,
+                               err_msg=f'{dom} qacc')
+    np.testing.assert_allclose(a.sensordata, b.sensordata, atol=1e-6,
+                               rtol=1e-6, err_msg=f'{dom} sensordata')
+    np.testing.assert_allclose(a.energy, b.energy, atol=1e-6, rtol=1e-6,
+                               err_msg=f'{dom} energy')
+    assert float(a.time) == float(b.time)

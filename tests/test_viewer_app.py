@@ -75,6 +75,11 @@ def test_http_server_roundtrip():
   env = suite.load('cartpole', 'swingup', task_kwargs={'random': 4})
   v = viewer_app.InteractiveViewer(env, height=60, width=80, port=0)
   try:
+    # prime the step/render compiles on THIS thread: otherwise the loop
+    # thread spends its first loop_once inside a ~minute XLA compile,
+    # outlives close()'s join, and keeps running jax/numpy concurrently
+    # with later tests in this worker (numpy errstate corruption)
+    v.loop_once(0.02)
     v.serve(block=False, open_msg=False)
     base = f'http://127.0.0.1:{v.port}'
     page = urllib.request.urlopen(f'{base}/', timeout=10).read()

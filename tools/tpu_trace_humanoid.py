@@ -33,8 +33,9 @@ jax.block_until_ready(db.qpos)
 
 @jax.jit
 def run(d):
+  # the production path: minimal-carry substeps (5 per control step)
   def body(dd, _):
-    return jax.vmap(lambda x: fwd.step(m, x))(dd), None
+    return jax.vmap(lambda x: fwd.substeps(m, x, 5))(dd), None
   d, _ = jax.lax.scan(body, d, None, length=K)
   return d
 
