@@ -25,11 +25,49 @@ from dm_control_tpu._src import setconst
 from dm_control_tpu.mjcf import compiler as _compiler
 
 
+def _format_value(value) -> str:
+  """Python value -> MJCF attribute string (the typed-write half of the
+  reference's attribute classes, mjcf/attribute.py:1-546)."""
+  import numpy as np
+  if isinstance(value, str):
+    return value
+  if isinstance(value, (bool, np.bool_)):
+    return 'true' if value else 'false'
+  if isinstance(value, (list, tuple, np.ndarray)):
+    return ' '.join(_format_value(v) for v in np.asarray(value).ravel())
+  if isinstance(value, (float, np.floating)):
+    return repr(float(value))
+  if isinstance(value, (int, np.integer)):
+    return str(int(value))
+  return str(value)
+
+
+def _parse_value(kind: str, raw: str):
+  """MJCF attribute string -> typed Python value by schema kind (the
+  typed-read half: 'f' -> float/np.ndarray, 'i' -> int(s), 'b' -> bool,
+  's'/keyword -> str)."""
+  import numpy as np
+  if kind == 'f':
+    vals = [float(x) for x in raw.split()]
+    return vals[0] if len(vals) == 1 else np.asarray(vals)
+  if kind == 'i':
+    vals = [int(x) for x in raw.split()]
+    return vals[0] if len(vals) == 1 else np.asarray(vals)
+  if kind == 'b':
+    return raw == 'true'
+  if kind == 'k' and raw in ('true', 'false'):  # boolean keywords
+    return raw == 'true'
+  return raw
+
+
 class Element:
-  """Thin mutable wrapper over an ElementTree node."""
+  """Thin mutable wrapper over an ElementTree node with typed attribute
+  access: `geom.pos` parses to float/np.ndarray by schema kind, and
+  `geom.pos = [0, 0, 1]` formats + validates (the role of the
+  reference's typed attribute classes, mjcf/attribute.py)."""
 
   def __init__(self, el: ET.Element):
-    self._el = el
+    object.__setattr__(self, '_el', el)
 
   @property
   def tag(self) -> str:
@@ -37,7 +75,7 @@ class Element:
 
   def add(self, tag: str, **attrs) -> 'Element':
     from dm_control_tpu.mjcf import schema
-    attrs = {k.rstrip('_'): str(v) for k, v in attrs.items()}
+    attrs = {k.rstrip('_'): _format_value(v) for k, v in attrs.items()}
     schema.validate_element(tag, attrs, schema.caller_line())
     child = ET.SubElement(self._el, tag, attrs)
     return Element(child)
@@ -47,10 +85,32 @@ class Element:
 
   def set(self, attr: str, value) -> 'Element':
     from dm_control_tpu.mjcf import schema
-    schema.validate_element(self._el.tag, {attr: str(value)},
+    value = _format_value(value)
+    schema.validate_element(self._el.tag, {attr: value},
                             schema.caller_line())
-    self._el.set(attr, str(value))
+    self._el.set(attr, value)
     return self
+
+  def __getattr__(self, name: str):
+    # typed read: only reached when normal attribute lookup fails
+    if name.startswith('_'):
+      raise AttributeError(name)
+    from dm_control_tpu.mjcf import schema
+    attr = name.rstrip('_')
+    spec = schema.SCHEMA.get(self._el.tag)
+    if spec is None or attr not in spec:
+      raise AttributeError(
+          f'<{self._el.tag}> has no attribute {attr!r}')
+    raw = self._el.attrib.get(attr)
+    if raw is None:
+      return None
+    return _parse_value(spec[attr], raw)
+
+  def __setattr__(self, name: str, value):
+    if name.startswith('_'):
+      object.__setattr__(self, name, value)
+    else:
+      self.set(name.rstrip('_'), value)
 
   def remove(self, child: 'Element'):
     self._el.remove(child._el)

@@ -194,3 +194,43 @@ def test_widened_schema_accepts_reference_fragments():
   import pytest as _pytest
   with _pytest.raises(schema.SchemaError):
     schema.validate_element('muscle', {'name': 'm', 'bogus_attr': '1'})
+
+
+def test_typed_attribute_access():
+  """Typed attribute layer (reference mjcf/attribute.py): reads parse by
+  schema kind, writes format+validate python values."""
+  import numpy as np
+  from dm_control_tpu.mjcf.dom import RootElement
+  from dm_control_tpu.mjcf.schema import SchemaError
+
+  root = RootElement(model='typed')
+  g = root.worldbody.add('geom', type='box', size=[0.1, 0.2, 0.3],
+                         name='g0', mass=1.5)
+  # typed reads
+  np.testing.assert_allclose(g.size, [0.1, 0.2, 0.3])
+  assert g.mass == 1.5 and isinstance(g.mass, float)
+  assert g.type == 'box'
+  assert g.pos is None                 # valid attribute, unset
+  # typed writes (attribute assignment)
+  g.pos = np.array([0.0, 0.0, 1.0])
+  np.testing.assert_allclose(g.pos, [0, 0, 1])
+  b = root.worldbody.add('body', name='b0')
+  j = b.add('joint', type='hinge', axis='0 1 0', limited=True)
+  assert j.limited is True
+  # invalid attribute name raises on read AND write
+  import pytest
+  with pytest.raises(AttributeError):
+    _ = g.bogus_attr
+  with pytest.raises(SchemaError):
+    g.set('bogus_attr', 1.0)
+  # bad value type for a float attr
+  with pytest.raises(SchemaError):
+    g.set('mass', 'not-a-number')
+  # the typed edits compile
+  g2 = root.worldbody.add('geom', type='plane', size=[5, 5, 0.1],
+                          name='floor')
+  del g2
+  m = root.compile()
+  import numpy as _np
+  gi = m.name2id('geom', 'g0')
+  _np.testing.assert_allclose(m.geom_pos[gi], [0, 0, 1])
