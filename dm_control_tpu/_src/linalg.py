@@ -89,7 +89,11 @@ def _cho_solve_impl(l: jax.Array, b: jax.Array) -> jax.Array:
 def _pallas_wanted(n: int) -> bool:
   import os
   from dm_control_tpu.ops import linalg_kernel
-  return (jax.default_backend() == 'tpu' and n <= linalg_kernel.MAX_N
+  # n <= UNROLL_MAX_N stays on the unrolled jnp path: for tiny matrices
+  # it fuses into surrounding work and beats a kernel launch (measured:
+  # routing cheetah's nv=9 through the kernel cost ~25% end-to-end)
+  return (jax.default_backend() == 'tpu'
+          and UNROLL_MAX_N < n <= linalg_kernel.MAX_N
           and os.environ.get('DMC_TPU_DISABLE_PALLAS') != '1')
 
 

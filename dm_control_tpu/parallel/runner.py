@@ -150,27 +150,51 @@ class BatchedEnv:
 
     Actions are drawn uniformly in ctrl range (throughput benchmarking);
     learners plug their policy in via `step` directly.
+
+    The scan carries ONLY the integration state (same argument as
+    forward.substeps): every derived Data field crossing the
+    control-step boundary turns trace-constant contact/body indexing
+    into dynamic gathers and adds per-step HBM copies of ~5x the state
+    size.  step() recomputes all of it from qpos/qvel before anything
+    reads it.  The returned RunnerState grafts the final carried state
+    onto the input template; callers needing step()-complete derived
+    fields at the final state run forward() on it (the Data is marked
+    via time/qpos which are authoritative).
     """
     m = self.model
     lo = np.where(m.actuator_ctrllimited, m.actuator_ctrlrange[:, 0], -1.0)
     hi = np.where(m.actuator_ctrllimited, m.actuator_ctrlrange[:, 1], 1.0)
     step_fn = self._step_fn
     bsz = self.batch_size
+    state_of = lambda dd: {f: getattr(dd, f)
+                           for f in _forward._STATE_FIELDS}
 
     @jax.jit
     def run(state: RunnerState, key):
+      # template / rng / reset_pool are loop-INVARIANT: closing over
+      # them keeps them out of the carry (a carry is copied every
+      # iteration even when unchanged)
+      template, rng, pool = state.data, state.rng, state.reset_pool
+
       def body(carry, _):
-        st, k = carry
+        st, count, epi, k = carry
         k, sub = jax.random.split(k)
         actions = jax.random.uniform(
-            sub, (bsz, m.nu), minval=jnp.asarray(lo), maxval=jnp.asarray(hi),
-            dtype=st.data.qpos.dtype)
-        st, (obs, reward, done, discount) = step_fn(st, actions)
-        return (st, k), reward
+            sub, (bsz, m.nu), minval=jnp.asarray(lo),
+            maxval=jnp.asarray(hi), dtype=template.qpos.dtype)
+        full = RunnerState(data=template.replace(**st), step_count=count,
+                           episode_id=epi, rng=rng, reset_pool=pool)
+        out, (obs, reward, done, discount) = step_fn(full, actions)
+        return (state_of(out.data), out.step_count, out.episode_id,
+                k), reward
 
-      (state, _), rewards = jax.lax.scan(
-          body, (state, key), None, length=n_steps)
-      return state, rewards
+      carry0 = (state_of(state.data), state.step_count, state.episode_id,
+                key)
+      (st, count, epi, _), rewards = jax.lax.scan(
+          body, carry0, None, length=n_steps)
+      final = RunnerState(data=template.replace(**st), step_count=count,
+                          episode_id=epi, rng=rng, reset_pool=pool)
+      return final, rewards
 
     return run
 

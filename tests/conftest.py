@@ -90,7 +90,7 @@ def _bound_jax_compile_cache():
 # from the shared workers.  (pytest-forked is not in this image, and
 # fork() under live XLA threads is unsafe anyway — so: subprocess.)
 
-_SUBPROC_FILES = ('test_task_parity.py',)
+_SUBPROC_FILES = ('test_task_parity.py', 'test_suite_determinism.py')
 _SUBPROC_PATTERNS = ('dog', 'humanoid', 'CMU', 'swimmer15', 'finger')
 _SUBPROC_INNER_ENV = 'DMC_TPU_SUBPROC_INNER'
 
