@@ -958,13 +958,21 @@ def collide_all(m: Model, d: Data) -> Data:
       _, idx = jax.lax.top_k(-score, K)
       g1s = jnp.asarray(grp.g1)[idx]
       g2s = jnp.asarray(grp.g2)[idx]
-      pos1, mat1 = d.geom_xpos[g1s], d.geom_xmat[g1s]
-      pos2, mat2 = d.geom_xpos[g2s], d.geom_xmat[g2s]
-      size1 = jnp.asarray(m.geom_size, dtype)[g1s]
-      size2 = jnp.asarray(m.geom_size, dtype)[g2s]
-      solref = jnp.asarray(grp.solref, dtype)[idx]
-      solimp = jnp.asarray(grp.solimp, dtype)[idx]
-      incmargin = jnp.asarray(incmargin_np, dtype)[idx]
+      # selected-pair reads as one-hot matmuls: row gathers with the
+      # dynamic top-K indices lower to slow per-row dynamic-slice
+      # fusions on TPU (profiled ~1.2 ms each at (4096, 20, 3, 3)),
+      # while (K, P) @ (P, x) rides the MXU
+      P = len(grp.g1)
+      sel = jax.nn.one_hot(idx, P, dtype=dtype)          # (K, P)
+      pos1 = sel @ d.geom_xpos[grp.g1]
+      pos2 = sel @ d.geom_xpos[grp.g2]
+      mat1 = (sel @ d.geom_xmat[grp.g1].reshape(P, 9)).reshape(K, 3, 3)
+      mat2 = (sel @ d.geom_xmat[grp.g2].reshape(P, 9)).reshape(K, 3, 3)
+      size1 = sel @ jnp.asarray(m.geom_size[grp.g1], dtype)
+      size2 = sel @ jnp.asarray(m.geom_size[grp.g2], dtype)
+      solref = sel @ jnp.asarray(grp.solref, dtype)
+      solimp = sel @ jnp.asarray(grp.solimp, dtype)
+      incmargin = sel @ jnp.asarray(incmargin_np, dtype)
       geom1, geom2 = g1s, g2s
       body1 = jnp.asarray(bodies1)[idx]
       body2 = jnp.asarray(bodies2)[idx]

@@ -315,40 +315,49 @@ def contact_jacobians(m: Model, d: Data, lay: efc.Layout):
 
   Returns (jn (ncon, nv), jdirs (ncon, ndir, nv)): the normal-direction
   relative-velocity Jacobian of each contact, and the tangential (+
-  rotational, when any contact has condim > 3) direction rows.  One fused
-  batched computation replaces the reference's per-contact mj_jac calls.
-  """
+  rotational, when any contact has condim > 3) direction rows.
+
+  TPU formulation (profiled on humanoid@4096): the naive per-contact
+  point Jacobian materializes (ncon, nv, 3) tensors whose einsum
+  contractions dominate the substep (one 4.9 ms fusion + layout copies
+  per evaluation).  The directional rows only ever need
+  J . f = mask * (f . cdof_lin[v] + (off x f) . cdof_ang[v])
+  (scalar triple product a x b . c = a . (b x c)), which is two
+  (ncon, 3) @ (3, nv) matmuls per direction — MXU work with no rank-3
+  intermediate.  Body-indexed reads go through one-hot matmuls instead
+  of row gathers (the top-K broadphase makes the ids dynamic)."""
   con = d.contact
   c = lay.contact
   dtype = d.qpos.dtype
-  # body ids come from the contact buffer: traced when the top-K
-  # broadphase selects pairs dynamically, constant otherwise
-  dof_mask = jnp.asarray(m.body_dof_mask, dtype)
-  rootid = jnp.asarray(m.body_rootid)
-  mask1 = dof_mask[con.body1]  # (ncon, nv)
-  mask2 = dof_mask[con.body2]
-  root1 = rootid[con.body1]
-  root2 = rootid[con.body2]
+  nbody = m.nbody
+  dof_mask = jnp.asarray(m.body_dof_mask, dtype)      # (nbody, nv)
+  B1 = jax.nn.one_hot(con.body1, nbody, dtype=dtype)  # (ncon, nbody)
+  B2 = jax.nn.one_hot(con.body2, nbody, dtype=dtype)
+  # subtree_com of each body's tree root; rootid indexing is static
+  root_com = d.subtree_com[np.asarray(m.body_rootid)]  # (nbody, 3)
+  mask1 = B1 @ dof_mask                                # (ncon, nv)
+  mask2 = B2 @ dof_mask
+  off1 = con.pos - B1 @ root_com                       # (ncon, 3)
+  off2 = con.pos - B2 @ root_com
   cdof_ang, cdof_lin = d.cdof[:, :3], d.cdof[:, 3:]
 
-  def jacp(root, mask):
-    offset = con.pos - d.subtree_com[root]  # (ncon, 3)
-    jp = cdof_lin[None, :, :] + jnp.cross(
-        jnp.broadcast_to(cdof_ang[None, :, :], (c.ncon, m.nv, 3)),
-        jnp.broadcast_to(offset[:, None, :], (c.ncon, m.nv, 3)))
-    return jp * mask[:, :, None]
+  def jdiff_p(f):
+    lin = f @ cdof_lin.T                               # (ncon, nv)
+    a1 = jnp.cross(off1, f) @ cdof_ang.T
+    a2 = jnp.cross(off2, f) @ cdof_ang.T
+    return mask2 * (lin + a2) - mask1 * (lin + a1)
 
-  jdiffp = jacp(root2, mask2) - jacp(root1, mask1)  # (ncon, nv, 3)
-  jn = jnp.einsum('cvx,cx->cv', jdiffp, con.frame[:, 0])
+  jn = jdiff_p(con.frame[:, 0])
   ndir = min(c.max_dir, 2) if c.max_dir <= 2 else 5
   if ndir == 0:
     return jn, jnp.zeros((c.ncon, 0, m.nv), dtype)
-  jt = jnp.einsum('cvx,cdx->cdv', jdiffp, con.frame[:, 1:])  # (ncon,2,nv)
+  jt = jnp.stack([jdiff_p(con.frame[:, 1]),
+                  jdiff_p(con.frame[:, 2])], axis=1)   # (ncon, 2, nv)
   if ndir <= 2:
     return jn, jt
-  jdiffr = (cdof_ang[None, :, :]
-            * (mask2 - mask1)[:, :, None])  # (ncon, nv, 3)
-  jr = jnp.einsum('cvx,cdx->cdv', jdiffr, con.frame)  # (ncon, 3, nv)
+  dmask = mask2 - mask1
+  jr = jnp.stack([dmask * (con.frame[:, k] @ cdof_ang.T)
+                  for k in range(3)], axis=1)          # (ncon, 3, nv)
   return jn, jnp.concatenate([jt, jr], axis=1)
 
 

@@ -47,14 +47,19 @@ def rne_postconstraint(m: Model, d: Data):
     con = d.contact
     force = _contact_forces(m, d)  # (ncon, 3) in contact frame (n, t1, t2)
     world_f = jnp.einsum('cab,ca->cb', con.frame, force)
+    # per-body root com with static root indexing; body selection via
+    # one-hot matmuls (accumulation included: one (nbody, ncon) @
+    # (ncon, 6) GEMM replaces the batched scatter-add, which cost
+    # ~6.3 ms per evaluation at (4096, 117) on v5e)
+    root_com = d.subtree_com[np.asarray(m.body_rootid)]  # (nbody, 3)
     for b_sign, geom in ((1.0, con.geom2), (-1.0, con.geom1)):
       bodyid = jnp.asarray(m.geom_bodyid)[jnp.maximum(geom, 0)]
-      com_c = d.subtree_com[jnp.asarray(m.body_rootid)[bodyid]]
-      offset = con.pos - com_c
+      Bsel = jax.nn.one_hot(bodyid, m.nbody, dtype=dtype)  # (ncon, nbody)
+      offset = con.pos - Bsel @ root_com
       f = b_sign * world_f
       wrench = jnp.concatenate([jnp.cross(offset, f), f], axis=-1)
       wrench = jnp.where((geom >= 0)[:, None], wrench, 0.0)
-      cfrc_ext = math.safe_add(cfrc_ext, bodyid, wrench)
+      cfrc_ext = cfrc_ext + Bsel.T @ wrench
 
   # forward pass: body accelerations
   if m.nv:
