@@ -89,11 +89,13 @@ def _cho_solve_impl(l: jax.Array, b: jax.Array) -> jax.Array:
 def _pallas_wanted(n: int) -> bool:
   import os
   from dm_control_tpu.ops import linalg_kernel
-  # n <= UNROLL_MAX_N stays on the unrolled jnp path: for tiny matrices
-  # it fuses into surrounding work and beats a kernel launch (measured:
-  # routing cheetah's nv=9 through the kernel cost ~25% end-to-end)
+  # Default 0: the kernel wins or ties the fused-unrolled path at every
+  # measured size (fish nv=13: 444k vs 126k steps/s; swimmer6 nv=8:
+  # 309k vs 141k; cheetah nv=9: 913k vs 923k — parity).  The env var
+  # keeps the A/B handle for future models.
+  min_n = int(os.environ.get('DMC_TPU_LINALG_KERNEL_MIN_N', '0'))
   return (jax.default_backend() == 'tpu'
-          and UNROLL_MAX_N < n <= linalg_kernel.MAX_N
+          and min_n < n <= linalg_kernel.MAX_N
           and os.environ.get('DMC_TPU_DISABLE_PALLAS') != '1')
 
 
