@@ -153,3 +153,39 @@ def pytest_runtest_protocol(item, nextitem):
     ihook.pytest_runtest_logreport(report=report)
   ihook.pytest_runtest_logfinish(nodeid=item.nodeid, location=item.location)
   return True
+
+
+# ---------------------------------------------------------------------------
+# Thread-leak attribution (the 'truth value of an array is ambiguous'
+# plague): a python thread that outlives its test keeps running jax/numpy
+# concurrently with later tests in this worker and corrupts numpy
+# errstate process-wide.  Fail the LEAKING test by name instead of
+# letting innocent tests downstream absorb the fallout.
+# ---------------------------------------------------------------------------
+
+_THREAD_BASELINE = None
+
+
+@pytest.fixture(autouse=True)
+def _thread_leak_guard(request):
+  global _THREAD_BASELINE
+  import threading
+  if _THREAD_BASELINE is None:
+    _THREAD_BASELINE = {t.ident for t in threading.enumerate()}
+  yield
+  import time as _time
+  leaked = [t for t in threading.enumerate()
+            if t.ident not in _THREAD_BASELINE and t.is_alive()]
+  if leaked:
+    _time.sleep(1.0)   # grace for threads mid-teardown
+    leaked = [t for t in threading.enumerate()
+              if t.ident not in _THREAD_BASELINE and t.is_alive()]
+  if leaked:
+    names = [t.name for t in leaked]
+    # adopt long-lived pool threads created lazily by libraries so only
+    # the FIRST owning test is flagged
+    _THREAD_BASELINE.update(t.ident for t in leaked)
+    raise AssertionError(
+        f'test leaked live threads: {names} — join them before returning '
+        f'(they corrupt numpy errstate for every later test in this '
+        f'worker)')
