@@ -104,11 +104,11 @@ def _bcast(x, axis_size, batched):
 
 
 @jax.custom_batching.custom_vmap
-def cholesky(a: jax.Array) -> jax.Array:
+def _cholesky_cv(a: jax.Array) -> jax.Array:
   return _cholesky_impl(a)
 
 
-@cholesky.def_vmap
+@_cholesky_cv.def_vmap
 def _cholesky_vmap(axis_size, in_batched, a):
   a = _bcast(a, axis_size, in_batched[0])
   if a.ndim == 3 and _pallas_wanted(a.shape[-1]):
@@ -118,11 +118,11 @@ def _cholesky_vmap(axis_size, in_batched, a):
 
 
 @jax.custom_batching.custom_vmap
-def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
+def _cho_solve_cv(l: jax.Array, b: jax.Array) -> jax.Array:
   return _cho_solve_impl(l, b)
 
 
-@cho_solve.def_vmap
+@_cho_solve_cv.def_vmap
 def _cho_solve_vmap(axis_size, in_batched, l, b):
   l = _bcast(l, axis_size, in_batched[0])
   b = _bcast(b, axis_size, in_batched[1])
@@ -133,12 +133,11 @@ def _cho_solve_vmap(axis_size, in_batched, l, b):
 
 
 @jax.custom_batching.custom_vmap
-def solve_psd(a: jax.Array, b: jax.Array) -> jax.Array:
-  """x = a^-1 b for SPD a, (..., n, n) @ (..., n)."""
+def _solve_psd_cv(a: jax.Array, b: jax.Array) -> jax.Array:
   return _cho_solve_impl(_cholesky_impl(a), b)
 
 
-@solve_psd.def_vmap
+@_solve_psd_cv.def_vmap
 def _solve_psd_vmap(axis_size, in_batched, a, b):
   a = _bcast(a, axis_size, in_batched[0])
   b = _bcast(b, axis_size, in_batched[1])
@@ -147,6 +146,74 @@ def _solve_psd_vmap(axis_size, in_batched, a, b):
     return linalg_kernel.chol_solve_batched(a, b), True
   return jax.vmap(lambda aa, bb: _cho_solve_impl(_cholesky_impl(aa), bb))(
       a, b), True
+
+
+# custom_vmap does not support autodiff ("Linearization failed to
+# produce known values", caught by the LQR Riccati linearizer which
+# jacobians through factor_m).  The public entry points are custom_jvp
+# wrappers with the analytic derivative rules; under plain vmap the
+# primal is batched as-is, so the kernel dispatch inside still fires.
+
+
+@jax.custom_jvp
+def cholesky(a: jax.Array) -> jax.Array:
+  """Lower-triangular Cholesky factor of (..., n, n) SPD matrices."""
+  return _cholesky_cv(a)
+
+
+@cholesky.defjvp
+def _cholesky_jvp(primals, tangents):
+  (a,), (da,) = primals, tangents
+  L = _cholesky_cv(a)
+  from jax.scipy.linalg import solve_triangular
+  # dL = L phi(L^-1 da L^-T); phi = tril with halved diagonal
+  W = solve_triangular(L, da, lower=True)
+  Y = solve_triangular(L, W.swapaxes(-1, -2), lower=True).swapaxes(-1, -2)
+  phi = jnp.tril(Y) - 0.5 * jnp.tril(jnp.triu(Y))
+  return L, L @ phi
+
+
+@jax.custom_jvp
+def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
+  """Solve A x = b given the lower Cholesky factor of A; b is (..., n)."""
+  return _cho_solve_cv(l, b)
+
+
+def _plain_cho_solve(l, t):
+  """Triangular-substitution solve on plain jnp ops: the tangent path of
+  the JVP rules must stay linear in ops that have TRANSPOSE rules
+  (reverse mode transposes it), which custom_vmap_call does not."""
+  from jax.scipy.linalg import solve_triangular
+  y = solve_triangular(l, t[..., None], lower=True)
+  return solve_triangular(
+      l.swapaxes(-1, -2), y, lower=False)[..., 0]
+
+
+@cho_solve.defjvp
+def _cho_solve_jvp(primals, tangents):
+  (l, b), (dl, db) = primals, tangents
+  x = _cho_solve_cv(l, b)
+  # A = l l^T; dx = A^-1 (db - dA x), dA x = dl (l^T x) + l (dl^T x)
+  ltx = jnp.einsum('...ji,...j->...i', l, x)
+  dax = (jnp.einsum('...ij,...j->...i', dl, ltx)
+         + jnp.einsum('...ij,...j->...i', l,
+                      jnp.einsum('...ji,...j->...i', dl, x)))
+  return x, _plain_cho_solve(l, db - dax)
+
+
+@jax.custom_jvp
+def solve_psd(a: jax.Array, b: jax.Array) -> jax.Array:
+  """x = a^-1 b for SPD a, (..., n, n) @ (..., n)."""
+  return _solve_psd_cv(a, b)
+
+
+@solve_psd.defjvp
+def _solve_psd_jvp(primals, tangents):
+  (a, b), (da, db) = primals, tangents
+  x = _solve_psd_cv(a, b)
+  l = _cholesky_cv(a)  # primal-only; constant w.r.t. the tangents
+  dx = _plain_cho_solve(l, db - jnp.einsum('...ij,...j->...i', da, x))
+  return x, dx
 
 
 # direct (non-dispatching) aliases for call sites that nest an inner
