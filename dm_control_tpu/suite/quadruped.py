@@ -74,6 +74,14 @@ def _model(floor_size=None, terrain=False, rangefinders=False,
       if ref and ref not in kept:
         sec.remove(el)
   m = mjcf_compiler.MJCFCompiler(root).build()
+  # Top-K self-collision broadphase (same rationale as suite/humanoid.py:
+  # 40-pair sphere-capsule + 58-pair capsule-capsule candidate sets with
+  # <= ~10 simultaneously active; exact-distance selection, K=12).  The
+  # quadruped parity/determinism rows validate the approximation.
+  import dataclasses
+  m = dataclasses.replace(
+      m, opt=dataclasses.replace(m.opt, broadphase_threshold=30,
+                                 broadphase_cap=12))
   return setconst.set_const(m)
 
 
