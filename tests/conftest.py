@@ -121,6 +121,14 @@ def pytest_runtest_protocol(item, nextitem):
 
   ihook = item.ihook
   ihook.pytest_runtest_logstart(nodeid=item.nodeid, location=item.location)
+  # the previous (normal) item's fixture finalizers are pending: the
+  # standard runner pops them during THIS item's setup, which we bypass.
+  # Without this, the next normal test's setup dies with "previous item
+  # was not torn down properly".
+  try:
+    item.session._setupstate.teardown_exact(nextitem)
+  except Exception:
+    pass
   t0 = _time.time()
   env = dict(os.environ, **{_SUBPROC_INNER_ENV: '1'})
   env.pop('PYTEST_XDIST_WORKER', None)
