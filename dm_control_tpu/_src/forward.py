@@ -620,7 +620,12 @@ def substeps(m: Model, d: Data, n: int) -> Data:
     they were pure dead weight (~30% of the humanoid substep).
   """
   if n <= 1:
-    return step(m, d)
+    # Self-sync before stepping: callers (runner auto-reset lanes,
+    # rollout_fn's state-only carry) may pass Data whose derived fields
+    # (qM/qLD, contacts, qfrc_bias, moments) belong to a DIFFERENT
+    # state.  step1 is a pure function of the integration state, so for
+    # already-synced input this is a value-level no-op.
+    return step(m, step1(m, d, skipsensor=True))
 
   def sub(st, _):
     dd = d.replace(**st)

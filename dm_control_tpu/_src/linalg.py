@@ -86,9 +86,15 @@ def _cho_solve_impl(l: jax.Array, b: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _pallas_wanted(n: int) -> bool:
+def _pallas_wanted(n: int, dtype=None) -> bool:
   import os
   from dm_control_tpu.ops import linalg_kernel
+  # f32-only contract: the kernels compute in float32 internally, so
+  # dispatching f64 inputs (jax_enable_x64 on TPU) would silently
+  # downgrade factor/solve precision vs the dtype-honoring jnp path
+  # (round-4 advisor finding).
+  if dtype is not None and dtype != jnp.float32:
+    return False
   # Default 0: the kernel wins or ties the fused-unrolled path at every
   # measured size (fish nv=13: 444k vs 126k steps/s; swimmer6 nv=8:
   # 309k vs 141k; cheetah nv=9: 913k vs 923k — parity).  The env var
@@ -111,7 +117,7 @@ def _cholesky_cv(a: jax.Array) -> jax.Array:
 @_cholesky_cv.def_vmap
 def _cholesky_vmap(axis_size, in_batched, a):
   a = _bcast(a, axis_size, in_batched[0])
-  if a.ndim == 3 and _pallas_wanted(a.shape[-1]):
+  if a.ndim == 3 and _pallas_wanted(a.shape[-1], a.dtype):
     from dm_control_tpu.ops import linalg_kernel
     return linalg_kernel.cholesky_batched(a), True
   return jax.vmap(_cholesky_impl)(a), True
@@ -126,7 +132,7 @@ def _cho_solve_cv(l: jax.Array, b: jax.Array) -> jax.Array:
 def _cho_solve_vmap(axis_size, in_batched, l, b):
   l = _bcast(l, axis_size, in_batched[0])
   b = _bcast(b, axis_size, in_batched[1])
-  if l.ndim == 3 and b.ndim == 2 and _pallas_wanted(l.shape[-1]):
+  if l.ndim == 3 and b.ndim == 2 and _pallas_wanted(l.shape[-1], l.dtype):
     from dm_control_tpu.ops import linalg_kernel
     return linalg_kernel.cho_solve_batched(l, b), True
   return jax.vmap(_cho_solve_impl)(l, b), True
@@ -141,7 +147,7 @@ def _solve_psd_cv(a: jax.Array, b: jax.Array) -> jax.Array:
 def _solve_psd_vmap(axis_size, in_batched, a, b):
   a = _bcast(a, axis_size, in_batched[0])
   b = _bcast(b, axis_size, in_batched[1])
-  if a.ndim == 3 and b.ndim == 2 and _pallas_wanted(a.shape[-1]):
+  if a.ndim == 3 and b.ndim == 2 and _pallas_wanted(a.shape[-1], a.dtype):
     from dm_control_tpu.ops import linalg_kernel
     return linalg_kernel.chol_solve_batched(a, b), True
   return jax.vmap(lambda aa, bb: _cho_solve_impl(_cholesky_impl(aa), bb))(

@@ -238,6 +238,28 @@ def _noslip(m: Model, lay: efc.Layout, d: Data, x, force):
   return x, force
 
 
+def _newton_kernel_wanted(nv: int) -> bool:
+  """Per-model gate on the monolithic Newton Pallas kernel.
+
+  Measured on v5e (TPUCHECK r4/r5 kernel_speedup, batch 1024): the
+  kernel wins on small-nv contact models (cheetah nv=9: 1.03x) but
+  slightly LOSES on large-nv ones (humanoid nv=27: 0.956x) because the
+  XLA core's inner factor/solve already dispatches to the linalg Pallas
+  kernels (ops/linalg_kernel.py) — the real ~9x lever at large nv —
+  while the monolithic kernel re-implements them with the whole
+  constraint state VMEM-resident, which stops paying once the (nv, nv)
+  working set dominates.  DMC_TPU_NEWTON_KERNEL=on|off overrides;
+  DMC_TPU_NEWTON_KERNEL_MAX_NV tunes the auto threshold."""
+  import os
+  mode = os.environ.get('DMC_TPU_NEWTON_KERNEL', 'auto')
+  if mode == 'on':
+    return True
+  if mode == 'off':
+    return False
+  max_nv = int(os.environ.get('DMC_TPU_NEWTON_KERNEL_MAX_NV', '16'))
+  return nv <= max_nv
+
+
 def _get_core(m: Model, lay: efc.Layout, niter: int, ls_iter: int,
               dtype=None):
   """Per-layout solver core: XLA while-loop for a single env; when vmapped
@@ -264,6 +286,7 @@ def _get_core(m: Model, lay: efc.Layout, niter: int, ls_iter: int,
   ncg = sum(int(v[0].shape[0]) for v in lay.ell_groups.values())
   fits = (newton_kernel.vmem_estimate(lay.nefc, nv, ncg)
           <= newton_kernel.VMEM_BUDGET)
+  fits = fits and _newton_kernel_wanted(nv)
 
   @jax.custom_batching.custom_vmap
   def core(J, M, aref, d_, fl, active, a, warm):

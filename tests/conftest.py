@@ -46,8 +46,26 @@ def _host_fingerprint() -> str:
   return 'unknown'
 
 
-jax.config.update('jax_compilation_cache_dir',
-                  f'/root/.cache/jax_tests_{_host_fingerprint()}')
+# Per-WORKER cache dirs: the round-4 battery failed ~2% of rows
+# nondeterministically under `-n 6` (wrong-numerics assertion failures
+# that all pass serially).  Root cause: jax's LRUCache.put writes cache
+# blobs via a bare `cache_path.write_bytes(val)` — NOT atomic, and the
+# inter-process lock is only taken when eviction is enabled (verified
+# in jax 0.9.0 `jax/_src/lru_cache.py`).  Six workers sharing one dir
+# race writer-vs-reader on the same key; a torn blob deserializes into
+# either a SIGABRT (the observed worker crashes) or a silently-wrong
+# executable (the observed wrong-numerics rows, all passing serially).
+# Isolating each worker's cache removes every cross-process race while
+# keeping within-worker reuse (the big win: determinism tests recompile
+# identical HLO in the same process).  Subprocess-isolated tests get
+# their own per-parent-worker subdir via DMC_TPU_CACHE_SUBDIR so inner
+# runs never share a dir with a live worker either.
+_worker = os.environ.get(
+    'DMC_TPU_CACHE_SUBDIR',
+    os.environ.get('PYTEST_XDIST_WORKER', 'gw0'))
+jax.config.update(
+    'jax_compilation_cache_dir',
+    f'/root/.cache/jax_tests_{_host_fingerprint()}/{_worker}')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
 
 SUITE_DIR = '/root/reference/dm_control/suite'
@@ -131,6 +149,11 @@ def pytest_runtest_protocol(item, nextitem):
     pass
   t0 = _time.time()
   env = dict(os.environ, **{_SUBPROC_INNER_ENV: '1'})
+  # inner runs keep a compile cache keyed to their parent worker: stable
+  # (warm across re-runs) and never shared with a concurrently-live
+  # worker process
+  env['DMC_TPU_CACHE_SUBDIR'] = (
+      'sub_' + os.environ.get('PYTEST_XDIST_WORKER', 'serial'))
   env.pop('PYTEST_XDIST_WORKER', None)
   proc = subprocess.run(
       # -n 0 neutralizes the ini's "-n 6" (xdist must stay importable

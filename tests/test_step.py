@@ -114,3 +114,61 @@ def test_substeps_matches_per_step_loop():
     np.testing.assert_allclose(a.energy, b.energy, atol=1e-6, rtol=1e-6,
                                err_msg=f'{dom} energy')
     assert float(a.time) == float(b.time)
+
+
+def test_substeps_n1_self_syncs_unsynced_input():
+  """The n<=1 fast path must re-sync derived fields before stepping.
+
+  The batched runner's scan carries ONLY the integration state and
+  grafts it onto a loop-invariant Data template (parallel/runner.py),
+  so substeps() receives Data whose qM/contacts/qfrc_bias belong to a
+  DIFFERENT state.  A fast path that steps without step1 consumes those
+  stale fields — on cartpole this produced qacc errors of ~23
+  (round-4 advisor finding, forward.py:622)."""
+  import jax
+  from dm_control_tpu import suite as _suite
+
+  task = _suite.build_task('cartpole', 'swingup')
+  m = task.model
+  d0 = forward.make_data(m)
+  d0 = task.init_episode(m, d0, jax.random.PRNGKey(7))
+  d0 = forward.forward(m, d0)
+  # evolve a few steps to get a state distinct from the template
+  d = d0.replace(ctrl=jnp.full((m.nu,), 0.7, d0.qpos.dtype))
+  for _ in range(5):
+    d = forward.step(m, d)
+
+  # graft the evolved integration state onto the STALE template, the way
+  # rollout_fn/auto-reset do
+  stale = d0.replace(**{f: getattr(d, f) for f in forward._STATE_FIELDS})
+  a = forward.substeps(m, stale, 1)
+  b = forward.step(m, d)  # synced input, ground truth
+  np.testing.assert_allclose(a.qpos, b.qpos, atol=1e-12, rtol=0)
+  np.testing.assert_allclose(a.qvel, b.qvel, atol=1e-12, rtol=0)
+  np.testing.assert_allclose(a.qacc, b.qacc, atol=1e-9, rtol=1e-9)
+
+
+def test_runner_n1_matches_single_env_loop():
+  """BatchedEnv rollout on an n_sub==1 task must match the eager
+  single-env step loop (same ctrl sequence, same trajectory)."""
+  import jax
+  from dm_control_tpu import suite as _suite
+  from dm_control_tpu.parallel import runner as _runner
+
+  task = _suite.build_task('cartpole', 'balance')
+  m = task.model
+  env = _runner.BatchedEnv(task, batch_size=2, auto_reset=False)
+  assert env.n_sub_steps == 1  # the fast-path regime under test
+  state = env.reset(jax.random.PRNGKey(0))
+
+  # eager ground truth for lane 0
+  d = jax.tree_util.tree_map(lambda x: x[0], state.data)
+  ctrls = np.linspace(-0.9, 0.9, 8)
+  for c in ctrls:
+    d = forward.step(m, d.replace(ctrl=jnp.full((m.nu,), c, d.qpos.dtype)))
+
+  for c in ctrls:
+    actions = jnp.full((2, m.nu), c, state.data.qpos.dtype)
+    state, _ = env.step(state, actions)
+  np.testing.assert_allclose(state.data.qpos[0], d.qpos, atol=1e-10, rtol=0)
+  np.testing.assert_allclose(state.data.qvel[0], d.qvel, atol=1e-10, rtol=0)

