@@ -43,6 +43,60 @@ class ObservableSpec:
   enabled: bool = True
 
 
+def camera_observable(camera=0, height: int = 48, width: int = 64,
+                      depth: bool = False, segmentation: bool = False,
+                      pose=None, **sampling) -> ObservableSpec:
+  """First-class camera observable — the reference `MJCFCamera`
+  equivalent (composer/observation/observable/mjcf.py:110, 207-222),
+  rendered by the in-graph analytic raytracer so it jits/vmaps with the
+  rest of the pipeline.
+
+  Args:
+    camera: model camera id (int) or name (str), ignored when `pose`
+      is given.
+    height, width: image size.
+    depth: render (H, W) float distances instead of RGB.
+    segmentation: render (H, W, 2) int32 (geom id, objtype) pairs,
+      background (-1, -1) — the reference's segmentation convention
+      (mjcf.py:207-222); the raytracer labels geoms, so objtype is
+      always mjOBJ_GEOM (5) on hits.
+    pose: optional explicit (position, rotation, fovy_radians) camera
+      override (e.g. from `render.free_camera_pose`).
+    **sampling: update_interval / buffer_size / delay / aggregator /
+      corruptor, as for any ObservableSpec.
+
+  RGB returns float32 in [0, 1] (the jit-native convention) rather than
+  the reference's uint8; multiply by 255 at the consumer if byte images
+  are required.
+  """
+  if depth and segmentation:
+    raise ValueError('cannot enable both segmentation and depth')
+  from dm_control_tpu._src import render as _render
+
+  def fn(m: Model, d: Data):
+    cam = pose
+    cam_id = 0
+    if cam is None and isinstance(camera, str):
+      cam_id = m.name2id('camera', camera)
+    elif cam is None:
+      cam_id = int(camera)
+    if cam is not None:
+      cam = (jnp.asarray(cam[0], d.qpos.dtype),
+             jnp.asarray(cam[1], d.qpos.dtype), cam[2])
+    out = _render.render(m, d, height, width, camera_id=cam_id,
+                         depth=depth, segmentation=segmentation,
+                         camera=cam)
+    if segmentation:
+      gid = out.astype(jnp.int32)
+      objtype = jnp.where(gid >= 0, jnp.int32(5), jnp.int32(-1))
+      return jnp.stack([gid, objtype], axis=-1)
+    if depth:
+      return out
+    return out.astype(jnp.float32)
+
+  return ObservableSpec(fn=fn, **sampling)
+
+
 @dataclasses.dataclass(frozen=True)
 class _Entry:
   name: str

@@ -79,6 +79,33 @@ def _cmu_model():
   return engine.load_model(common.model_path('humanoid_CMU.xml'))
 
 
+def v2019_walker_root():
+  """The V2019 CMU walker (the exact skeleton the reference's mocap
+  HDF5 clips are fitted to — locomotion/walkers/assets/
+  humanoid_CMU_V2019.xml) as a standalone model: attach-time freejoint
+  on the root body plus a floor plane, the composer walker's compiled
+  form.  The suite's humanoid_CMU.xml is a ROUNDED variant whose FK
+  drifts ~2.6 cm from the fitted tracks; this one reproduces them to
+  ~2e-7 (tests/test_mocap_hdf5.py)."""
+  import xml.etree.ElementTree as ET
+  from dm_control_tpu.mjcf.compiler import _load_xml
+  from dm_control_tpu.suite import common
+  root = _load_xml(common.model_path('humanoid_CMU_V2019.xml'))
+  wb = root.find('worldbody')
+  body = wb.find("body[@name='root']")
+  body.insert(0, ET.Element('freejoint', dict(name='root')))
+  wb.insert(0, ET.Element('geom', dict(
+      name='floor', type='plane', size='100 100 .2', conaffinity='1')))
+  return root
+
+
+@functools.lru_cache(maxsize=1)
+def _cmu_v2019_model():
+  from dm_control_tpu._src import setconst
+  from dm_control_tpu.mjcf.compiler import MJCFCompiler
+  return setconst.set_const(MJCFCompiler(v2019_walker_root()).build())
+
+
 def _synthesize_clip(m, clip_id: str, n_frames: int, dt: float
                      ) -> mocap.Trajectory:
   """Deterministic passive rollout seeded by the clip id (stand-in for

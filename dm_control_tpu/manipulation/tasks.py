@@ -438,18 +438,15 @@ def _add_vision(task, height=48, width=64):
   """Attach an in-graph rendered 'pixels' observable (the role of the
   reference's vision observation settings, manipulation/shared/
   observations.py: a fixed front camera; here the analytic raytracer,
-  which traces the Jaco's mesh hulls)."""
+  which traces the Jaco's mesh hulls) via the first-class camera
+  observable (composer.observation.camera_observable)."""
   from dm_control_tpu._src import render as render_lib
+  from dm_control_tpu.composer.observation import camera_observable
   import numpy as np_
-  pose = render_lib.free_camera_pose(
+  pos, rot = render_lib.free_camera_pose(
       np_.array([0.0, 0.0, 0.3]), 1.6, 215.0, -25.0)
-
-  def pixels(m_, d):
-    cam = (pose[0].astype(d.qpos.dtype), pose[1].astype(d.qpos.dtype),
-           55.0 * np_.pi / 180.0)
-    return render_lib.render(m_, d, height, width, camera=cam)
-
-  task.add_observable('pixels', ObservableSpec(fn=pixels))
+  task.add_observable('pixels', camera_observable(
+      pose=(pos, rot, 55.0 * np_.pi / 180.0), height=height, width=width))
   return task
 
 

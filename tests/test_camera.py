@@ -102,3 +102,65 @@ def test_mesh_geoms_render_and_raycast():
   t = render.raycast(m, d, jnp.asarray([0.0, 0.0, 2.0]),
                      jnp.asarray([0.0, 0.0, -1.0]))
   assert 0 < float(t) < 2.5
+
+
+_CAM_XML = """
+<mujoco>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 .1"/>
+    <body name="ball" pos="0 0 1">
+      <joint name="slide" type="slide" axis="0 0 1"/>
+      <geom name="ball_geom" type="sphere" size="0.3" rgba="1 0 0 1"/>
+    </body>
+    <camera name="fixed" pos="0 -3 1" xyaxes="1 0 0 0 0 1"/>
+  </worldbody>
+  <actuator><motor joint="slide"/></actuator>
+</mujoco>
+"""
+
+
+def test_camera_observable_rgb_depth_segmentation():
+  """First-class camera observables (reference MJCFCamera,
+  composer/observation/observable/mjcf.py:110,207-222): rgb by camera
+  name, depth, and (geom id, objtype) segmentation, all through the
+  composer observation pipeline."""
+  import jax
+  from dm_control_tpu.composer.observation import (ObservationPipeline,
+                                                   camera_observable)
+
+  m = engine.load_model_from_string(_CAM_XML)
+  d = forward.forward(m, forward.make_data(m))
+  specs = {
+      'pixels': camera_observable('fixed', height=24, width=32),
+      'depth': camera_observable('fixed', height=24, width=32, depth=True),
+      'seg': camera_observable(0, height=24, width=32, segmentation=True),
+  }
+  pipe = ObservationPipeline(m, specs, d)
+  state = pipe.init_state()
+  import jax.numpy as jnp
+  state = pipe.update(state, d, jnp.zeros((), jnp.int32),
+                      jax.random.PRNGKey(0))
+  obs = pipe.read(state, jnp.zeros((), jnp.int32))
+  assert obs['pixels'].shape == (24, 32, 3)
+  assert obs['pixels'].dtype == np.float32
+  assert float(obs['pixels'].min()) >= 0.0
+  assert float(obs['pixels'].max()) <= 1.0
+  assert obs['depth'].shape == (24, 32)
+  # the camera looks at the ball 3m away; some finite depths exist
+  finite = np.isfinite(np.asarray(obs['depth']))
+  assert finite.any()
+  assert obs['seg'].shape == (24, 32, 2)
+  assert obs['seg'].dtype == np.int32
+  seg = np.asarray(obs['seg'])
+  ball_id = m.name2id('geom', 'ball_geom')
+  assert (seg[..., 0] == ball_id).any()
+  # background is (-1, -1); hits carry objtype mjOBJ_GEOM == 5
+  assert (seg[seg[..., 0] >= 0][..., 1] == 5).all()
+  assert (seg[seg[..., 0] < 0][..., 1] == -1).all()
+
+
+def test_camera_observable_rejects_depth_and_segmentation():
+  import pytest
+  from dm_control_tpu.composer.observation import camera_observable
+  with pytest.raises(ValueError, match='both'):
+    camera_observable(0, depth=True, segmentation=True)

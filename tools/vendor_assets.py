@@ -38,6 +38,12 @@ MESH_DIRS = ['dog_assets', 'common/kinova_meshes']
 EXTRA_XMLS = [
     ('/root/reference/dm_control/locomotion/walkers/assets/rodent.xml',
      'rodent.xml', ('skin',)),
+    # the V2019 CMU walker: the skeleton the reference's mocap HDF5
+    # fixtures were fitted to (suite humanoid_CMU.xml is a rounded
+    # variant whose FK drifts ~2.6 cm from the fitted tracks)
+    ('/root/reference/dm_control/locomotion/walkers/assets/'
+     'humanoid_CMU_V2019.xml',
+     'humanoid_CMU_V2019.xml', ()),
     ('/root/reference/dm_control/locomotion/walkers/assets/jumping_ball/'
      'jumping_ball_with_head.xml',
      'jumping_ball_with_head.xml', ('texture', 'material')),
