@@ -98,8 +98,16 @@ def _build_groups(m: Model) -> List[PairGroup]:
     return []
   if m.opt.disableflags & (DisableBit.CONTACT | DisableBit.CONSTRAINT):
     return []
+  import os
   threshold = int(getattr(m.opt, 'broadphase_threshold', 40))
   cap = int(getattr(m.opt, 'broadphase_cap', 20))
+  # env overrides so reference-exact (all-static) layouts are
+  # recoverable without editing suite code: 0 disables the top-K tier
+  cap_env = os.environ.get('DMC_TPU_BROADPHASE_CAP')
+  if cap_env is not None:
+    cap = int(cap_env)
+    if cap <= 0:
+      threshold = 1 << 30
 
   keyed = {}
   for (t1, t2), lst in sorted(m.collision_pairs.items()):
@@ -114,12 +122,23 @@ def _build_groups(m: Model) -> List[PairGroup]:
           ((g1, g2), dict(solref=solref, solimp=solimp,
                           margin=margin, gap=gap)))
 
+  plane_cap = int(getattr(m.opt, 'broadphase_plane_cap', 0))
+  plane_env = os.environ.get('DMC_TPU_PLANE_CAP')
+  if plane_env is not None:
+    plane_cap = int(plane_env)
   out = []
   for (tp, condim, friction), entries in sorted(
       keyed.items(), key=lambda kv: (kv[0][0][0], kv[0][0][1], kv[0][1])):
     pairs = [e[0] for e in entries]
     params = [e[1] for e in entries]
-    K = len(pairs) if len(pairs) <= threshold else min(len(pairs), cap)
+    if (tp[0] == GeomType.PLANE and plane_cap > 0
+        and len(pairs) > plane_cap):
+      # opt-in plane top-K: exact selection (plane broadphase scores are
+      # the exact narrowphase distances) unless more than plane_cap
+      # pairs are simultaneously within margin
+      K = plane_cap
+    else:
+      K = len(pairs) if len(pairs) <= threshold else min(len(pairs), cap)
     out.append(PairGroup(tp[0], tp[1], condim,
                          np.asarray(friction), pairs, params, K))
   return out

@@ -241,14 +241,13 @@ def _noslip(m: Model, lay: efc.Layout, d: Data, x, force):
 def _newton_kernel_wanted(nv: int) -> bool:
   """Per-model gate on the monolithic Newton Pallas kernel.
 
-  Measured on v5e (TPUCHECK r4/r5 kernel_speedup, batch 1024): the
-  kernel wins on small-nv contact models (cheetah nv=9: 1.03x) but
-  slightly LOSES on large-nv ones (humanoid nv=27: 0.956x) because the
-  XLA core's inner factor/solve already dispatches to the linalg Pallas
-  kernels (ops/linalg_kernel.py) — the real ~9x lever at large nv —
-  while the monolithic kernel re-implements them with the whole
-  constraint state VMEM-resident, which stops paying once the (nv, nv)
-  working set dominates.  DMC_TPU_NEWTON_KERNEL=on|off overrides;
+  Round 4 measured the kernel losing on humanoid (0.956x at nefc=200)
+  because its O(nv^2 * nefc) in-kernel Hessian build is VPU-bound; the
+  round-5 plane top-K layouts (humanoid nefc 200 -> 136) flipped that:
+  9.2 ms vs 16.0 ms for the XLA core on realistic humanoid states at
+  batch 4096 (tools/tpu_solve_kernel_ab.py), with per-128-lane-tile
+  early exit.  The kernel now wins across the suite sizes, so the gate
+  is VMEM-fit only.  DMC_TPU_NEWTON_KERNEL=on|off overrides;
   DMC_TPU_NEWTON_KERNEL_MAX_NV tunes the auto threshold."""
   import os
   mode = os.environ.get('DMC_TPU_NEWTON_KERNEL', 'auto')
@@ -256,7 +255,7 @@ def _newton_kernel_wanted(nv: int) -> bool:
     return True
   if mode == 'off':
     return False
-  max_nv = int(os.environ.get('DMC_TPU_NEWTON_KERNEL_MAX_NV', '16'))
+  max_nv = int(os.environ.get('DMC_TPU_NEWTON_KERNEL_MAX_NV', '64'))
   return nv <= max_nv
 
 
@@ -314,18 +313,48 @@ def _get_core(m: Model, lay: efc.Layout, niter: int, ls_iter: int,
   return core
 
 
+def _hessian_precision(dtype):
+  """Matmul precision for the Newton Hessian assembly on TPU.
+
+  The whole solver runs under f32_dots (HIGHEST: 6-pass f32 emulation)
+  because bf16 matmuls in the gradient/solve path land ~2.8e+2 scaled-qacc
+  from the optimum (math.f32_dots docstring).  The H = J^T W J assembly is
+  the solver's dominant matmul but only sets the step DIRECTION — the f32
+  gradient/cost exits pin the solution — so it tolerates HIGH (3-pass
+  bf16 synthesis, ~f32 accuracy) for half the MXU passes.  Single-pass
+  bf16 was measured to produce indefinite H -> Cholesky NaNs; do not
+  lower further.  Opt-IN via DMC_TPU_HESS_HIGH=1: it buys only ~7% on
+  the XLA core (which the Newton Pallas kernel has displaced as the TPU
+  production path) and makes the core's H slightly less precise than
+  the kernel's f32 one, which trips the calibrated kernel-vs-XLA parity
+  floor (quadruped: max_err 0.17 vs the 5e-2 bound)."""
+  import os
+  if (os.environ.get('DMC_TPU_HESS_HIGH') == '1'
+      and jnp.dtype(dtype) == jnp.float32
+      and jax.default_backend() == 'tpu'):
+    return jax.lax.Precision.HIGH
+  return None
+
+
 @math.f32_dots
 def _solve_core_xla(J, M, aref, d_, fl, active, a, warm, *, lay, niter,
-                    ls_iter, tol, meaninertia):
+                    ls_iter, tol, meaninertia, return_iters=False):
   """Single-env projected Newton (XLA ops) with the reference's exit rule:
   stop when the scaled cost improvement OR the scaled gradient norm drops
-  below opt.tolerance, with scale = 1/(stat.meaninertia * max(1, nv))."""
+  below opt.tolerance, with scale = 1/(stat.meaninertia * max(1, nv)).
+
+  Iteration structure (TPU-profiled): the carry holds the current
+  forces/weights/gradient/cost so each iteration runs forces_full and
+  the J^T matvec exactly once (at the accepted point) instead of
+  recomputing them at the top of the next iteration — 3 passes over J
+  per iteration (H assembly, J@delta, J^T@f) instead of 5."""
   dtype = a.dtype
   nefc, nv = J.shape
   types = jnp.asarray(lay.types)
   from dm_control_tpu._src import linalg
   eye_reg = 1e-12 * jnp.eye(nv, dtype=dtype)
   scale = 1.0 / (max(meaninertia, 1e-12) * max(nv, 1))
+  h_prec = _hessian_precision(dtype)
 
   def forces_full(jar):
     f, w, cost = _diag_terms(jar, d_, fl, types, active)
@@ -334,16 +363,26 @@ def _solve_core_xla(J, M, aref, d_, fl, active, a, warm, *, lay, niter,
       f = math.safe_set(f, rows.reshape(-1), f_rows.reshape(-1))
     return f, w, cost + ell_cost, ell
 
-  def total_cost(x, jar):
-    _, _, c, _ = forces_full(jar)
-    return 0.5 * ((x - a) @ (M @ (x - a))) + c
+  ell_rows = tuple(rows for rows, _, _ in lay.ell_groups.values())
+
+  def eval_point(x, jar):
+    """Merged point evaluation: forces, Hessian weights, total cost,
+    gradient — one forces_full + one J^T matvec."""
+    f, w, c, ell = forces_full(jar)
+    mxa = M @ (x - a)
+    cost = 0.5 * ((x - a) @ mxa) + c
+    grad = mxa - J.T @ f
+    ell_w = tuple(wblk for _, _, wblk in ell)
+    return f, w, ell_w, cost, grad
 
   def newton_body(carry):
-    x, jar, prev_cost, it, _ = carry
-    f, w, ccost, ell = forces_full(jar)
-    grad = M @ (x - a) - J.T @ f
-    h = M + (J.T * w) @ J
-    for rows, _, wblk in ell:
+    x, jar, f, w, ell_w, cost_c, grad, it, _ = carry
+    if h_prec is not None:
+      h = M + jax.lax.dot_general(
+          J.T * w, J, (((1,), (0,)), ((), ())), precision=h_prec)
+    else:
+      h = M + (J.T * w) @ J
+    for rows, wblk in zip(ell_rows, ell_w):
       jg = J[rows]  # (ncg, k, nv)
       h = h + jnp.einsum('cka,ckl,clb->ab', jg, wblk, jg)
     delta = -linalg.solve_psd(h + eye_reg, grad)
@@ -376,42 +415,55 @@ def _solve_core_xla(J, M, aref, d_, fl, active, a, warm, *, lay, niter,
 
     x_new = x + alpha * delta
     jar_new = jar + alpha * djar
-    new_cost = total_cost(x_new, jar_new)
-    improved = new_cost < prev_cost
-    x = jnp.where(improved, x_new, x)
-    jar = jnp.where(improved, jar_new, jar)
-    cost = jnp.where(improved, new_cost, prev_cost)
-    improvement = scale * (prev_cost - cost)
-    f_new, _, _, _ = forces_full(jar)
-    grad_new = M @ (x - a) - J.T @ f_new
-    gradient = scale * jnp.linalg.norm(grad_new)
+    f_n, w_n, ell_n, cost_n, grad_n = eval_point(x_new, jar_new)
+    improved = cost_n < cost_c
+    sel = lambda new, old: jnp.where(improved, new, old)
+    x = sel(x_new, x)
+    jar = sel(jar_new, jar)
+    f = sel(f_n, f)
+    w = sel(w_n, w)
+    ell_w = tuple(sel(n, o) for n, o in zip(ell_n, ell_w))
+    cost = sel(cost_n, cost_c)
+    grad = sel(grad_n, grad)
+    improvement = scale * (cost_c - cost)
+    gradient = scale * jnp.linalg.norm(grad)
     # NaN-robust: a diverged lane must terminate, not spin to niter
     keep_going = jnp.logical_and(improvement >= tol, gradient >= tol)
-    return x, jar, cost, it + 1, jnp.logical_not(keep_going)
+    return (x, jar, f, w, ell_w, cost, grad, it + 1,
+            jnp.logical_not(keep_going))
 
   # start from the better of qacc_smooth / warmstart (reference semantics)
   jar_a = J @ a - aref
   jar_w = J @ warm - aref
-  cost_a = total_cost(a, jar_a)
-  cost_w = total_cost(warm, jar_w)
+  fa, wa, ea, cost_a, grad_a = eval_point(a, jar_a)
+  fw, ww, ew, cost_w, grad_w = eval_point(warm, jar_w)
   use_warm = cost_w < cost_a
-  x0 = jnp.where(use_warm, warm, a)
-  jar0 = jnp.where(use_warm, jar_w, jar_a)
+  sel0 = lambda wv, av: jnp.where(use_warm, wv, av)
+  x0 = sel0(warm, a)
+  jar0 = sel0(jar_w, jar_a)
+  f0 = sel0(fw, fa)
+  w0 = sel0(ww, wa)
+  ell0 = tuple(sel0(w_, a_) for w_, a_ in zip(ew, ea))
   cost0 = jnp.minimum(cost_w, cost_a)
+  grad0 = sel0(grad_w, grad_a)
 
   # the reference also exits immediately on a small initial gradient
-  f0, _, _, _ = forces_full(jar0)
-  grad0 = M @ (x0 - a) - J.T @ f0
   done0 = jnp.logical_not(scale * jnp.linalg.norm(grad0) >= tol)
 
-  init = (x0, jar0, cost0, jnp.zeros((), jnp.int32), done0)
+  init = (x0, jar0, f0, w0, ell0, cost0, grad0,
+          jnp.zeros((), jnp.int32), done0)
 
   def cond(carry):
-    _, _, _, it, done = carry
+    it, done = carry[-2], carry[-1]
     return jnp.logical_and(it < niter, jnp.logical_not(done))
 
-  x, jar, _, _, _ = jax.lax.while_loop(cond, newton_body, init)
+  out = jax.lax.while_loop(cond, newton_body, init)
+  x, it = out[0], out[-2]
 
+  # exact final forces (incremental jar accumulates float error over the
+  # accepted steps; outputs must be a pure function of x)
   jar = J @ x - aref
-  f, _, _, ell = forces_full(jar)
+  f, _, _, _ = forces_full(jar)
+  if return_iters:
+    return x, f, it
   return x, f

@@ -232,6 +232,13 @@ class Option:
   # narrowphase their `cap` most-overlapping pairs each step.
   broadphase_threshold: int = 40
   broadphase_cap: int = 20
+  # opt-in top-K for PLANE contact groups (0 = off: plane groups stay
+  # static).  Body-vs-floor candidate sets dominate humanoid-class efc
+  # layouts (16 plane-capsule pairs -> 128 of humanoid's 200 rows) while
+  # only a few touch the floor at once; capping them is exact whenever
+  # <= cap pairs are simultaneously within margin (the plane broadphase
+  # score is the exact narrowphase distance)
+  broadphase_plane_cap: int = 0
   # o_margin / o_solref / o_solimp defaults for pair overrides
   o_margin: float = 0.0
   o_solref: Tuple[float, float] = (0.02, 1.0)

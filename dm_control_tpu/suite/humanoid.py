@@ -33,10 +33,16 @@ def _model():
   # while cutting nefc 243 -> 200 (measured +16% env-steps/s @4096 on
   # v5e).  The humanoid oracle-parity rows (1e-5 over their horizon)
   # validate the approximation.
+  # Plane top-K (same exact-distance selection) for the 16-pair
+  # plane-capsule floor set: those pairs alone are 128 of the 200 efc
+  # rows while an upright/fallen humanoid rarely has >8 floor pairs
+  # within margin at once.  nefc 200 -> 136.  DMC_TPU_PLANE_CAP=0
+  # restores the static layout.
   import dataclasses
   return dataclasses.replace(
       m, opt=dataclasses.replace(m.opt, broadphase_threshold=30,
-                                 broadphase_cap=12))
+                                 broadphase_cap=12,
+                                 broadphase_plane_cap=8))
 
 
 @functools.lru_cache(maxsize=None)

@@ -78,10 +78,15 @@ def _model(floor_size=None, terrain=False, rangefinders=False,
   # 40-pair sphere-capsule + 58-pair capsule-capsule candidate sets with
   # <= ~10 simultaneously active; exact-distance selection, K=12).  The
   # quadruped parity/determinism rows validate the approximation.
+  # Plane top-K for the 12-pair plane-capsule leg set (the toes that
+  # actually walk are the 4 plane-sphere pairs, kept static); exact
+  # selection unless >8 leg capsules touch the floor at once.
+  # DMC_TPU_PLANE_CAP=0 restores the static layout.
   import dataclasses
   m = dataclasses.replace(
       m, opt=dataclasses.replace(m.opt, broadphase_threshold=30,
-                                 broadphase_cap=12))
+                                 broadphase_cap=12,
+                                 broadphase_plane_cap=8))
   return setconst.set_const(m)
 
 
