@@ -536,8 +536,14 @@ class MJCFCompiler:
         self._add_camera(child, body_id, childclass)
       elif tag == 'inertial':
         self._set_inertial(child, body_id)
-      elif tag in ('light',):
+      elif tag in ('light', 'plugin'):
         pass  # no physics effect
+      elif tag in ('composite', 'flexcomp', 'attach', 'frame'):
+        # physics-bearing elements this engine does not simulate:
+        # fail fast instead of silently dropping bodies/flexes
+        raise NotImplementedError(
+            f'<{tag}> inside <body>/<worldbody> is not supported by the '
+            f'TPU compiler (it would create physics state)')
       else:
         pass
     for child in elem:

@@ -64,7 +64,13 @@ class Element:
   """Thin mutable wrapper over an ElementTree node with typed attribute
   access: `geom.pos` parses to float/np.ndarray by schema kind, and
   `geom.pos = [0, 0, 1]` formats + validates (the role of the
-  reference's typed attribute classes, mjcf/attribute.py)."""
+  reference's typed attribute classes, mjcf/attribute.py).
+
+  NOTE: every non-underscore Python attribute assignment on an Element
+  is intercepted and schema-validated as an MJCF attribute write (so
+  typos raise instead of silently creating Python attributes).  To hang
+  incidental Python state off an Element, use an underscore-prefixed
+  name."""
 
   def __init__(self, el: ET.Element):
     object.__setattr__(self, '_el', el)
@@ -74,11 +80,29 @@ class Element:
     return self._el.tag
 
   def add(self, tag: str, **attrs) -> 'Element':
+    """Add a child element, validated against the (parent, child)
+    context of the full 148-element MJCF schema (reference semantics:
+    mjcf/element.py add + schema.xml child tables)."""
     from dm_control_tpu.mjcf import schema
     attrs = {k.rstrip('_'): _format_value(v) for k, v in attrs.items()}
-    schema.validate_element(tag, attrs, schema.caller_line())
+    schema.validate_element(tag, attrs, schema.caller_line(),
+                            parent=self._el.tag)
     child = ET.SubElement(self._el, tag, attrs)
     return Element(child)
+
+  def clone(self) -> 'Element':
+    """Detached deep copy of this element (reference mjcf/copier.py)."""
+    import copy as _copy
+    return Element(_copy.deepcopy(self._el))
+
+  def append(self, child: 'Element') -> 'Element':
+    """Graft a (cloned or detached) element under this one, validated
+    against the child-context schema."""
+    from dm_control_tpu.mjcf import schema
+    schema.validate_element(child.tag, dict(child._el.attrib),
+                            schema.caller_line(), parent=self._el.tag)
+    self._el.append(child._el)
+    return child
 
   def get(self, attr: str, default=None):
     return self._el.attrib.get(attr, default)
@@ -97,14 +121,14 @@ class Element:
       raise AttributeError(name)
     from dm_control_tpu.mjcf import schema
     attr = name.rstrip('_')
-    spec = schema.SCHEMA.get(self._el.tag)
-    if spec is None or attr not in spec:
+    specs = schema.attr_specs(self._el.tag)
+    if attr not in specs:
       raise AttributeError(
           f'<{self._el.tag}> has no attribute {attr!r}')
     raw = self._el.attrib.get(attr)
     if raw is None:
       return None
-    return _parse_value(spec[attr], raw)
+    return _parse_value(specs[attr].kind, raw)
 
   def __setattr__(self, name: str, value):
     if name.startswith('_'):
@@ -151,6 +175,17 @@ class RootElement(Element):
     obj = cls.__new__(cls)
     Element.__init__(obj, _compiler._load_xml(path))
     return obj
+
+  def copy(self) -> 'RootElement':
+    """Independent deep copy of the whole document (the reference's
+    mjcf/copier.py semantics: edits to the copy never leak back)."""
+    import copy as _copy
+    obj = type(self).__new__(type(self))
+    Element.__init__(obj, _copy.deepcopy(self._el))
+    return obj
+
+  def __deepcopy__(self, memo):
+    return self.copy()
 
   @property
   def worldbody(self) -> Element:

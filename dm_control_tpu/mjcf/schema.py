@@ -219,34 +219,185 @@ class SchemaError(ValueError):
   pass
 
 
+# ---------------------------------------------------------------------------
+# Full-schema tier (VERDICT r4 item 5): the complete 148-element-context
+# MJCF tree (schema_full.TREE, generated by tools/vendor_schema.py from
+# the format's schema description) indexed for context-aware validation.
+# The curated SCHEMA table above stays as a supplement: it carries
+# post-2.00 elements (intvelocity/adhesion/damper, statistic, visual
+# subsections) the era schema lacks, and doubles as the typed-read kind
+# table where the full tree has no entry.
+# ---------------------------------------------------------------------------
+
+
+class AttrSpec:
+  __slots__ = ('name', 'type', 'required', 'extra')
+
+  def __init__(self, name, typ, required, extra):
+    self.name, self.type, self.required, self.extra = (
+        name, typ, required, extra)
+
+  @property
+  def kind(self) -> str:
+    """Compact kind char for typed DOM reads ('f'/'i'/'b'/'k'/'s')."""
+    t = self.type
+    if t == 'float' or (t == 'array' and self.extra[0] == 'float'):
+      return 'f'
+    if t == 'int' or (t == 'array' and self.extra[0] == 'int'):
+      return 'i'
+    if t == 'keyword':
+      vv = set(self.extra)
+      return 'b' if vv == {'false', 'true'} else 'k'
+    return 's'
+
+
+class ElementSpec:
+  __slots__ = ('tag', 'repeated', 'on_demand', 'namespace', 'attributes',
+               'children', 'identifier')
+
+  def __init__(self, tag, repeated, on_demand, namespace, attributes,
+               children, identifier):
+    self.tag, self.repeated, self.on_demand = tag, repeated, on_demand
+    self.namespace, self.attributes = namespace, attributes
+    self.children, self.identifier = children, identifier
+
+
+def _build_index():
+  from dm_control_tpu.mjcf import schema_full
+  by_context: Dict[tuple, ElementSpec] = {}
+  union: Dict[str, Dict[str, AttrSpec]] = {}
+  children_of: Dict[str, Set[str]] = {}
+  namespaces: Set[str] = set()
+  tree_tags: Set[str] = set()
+
+  def walk(node, parent):
+    tag, rep, od, rec, ns, attrs, children = node
+    tree_tags.add(tag)
+    aspecs = {}
+    identifier = None
+    for (name, typ, req, extra) in attrs:
+      aspecs[name] = AttrSpec(name, typ, req, extra)
+      if typ == 'identifier':
+        identifier = name
+    namespace = ns or (tag if identifier else None)
+    if namespace:
+      namespaces.add(namespace)
+    child_tags = set(c[0] for c in children) | ({tag} if rec else set())
+    spec = ElementSpec(tag, rep, od, namespace, aspecs, child_tags,
+                       identifier)
+    key = (parent, tag)
+    if key in by_context:
+      # same tag under the same parent in two subtrees: merge surfaces
+      old = by_context[key]
+      old.attributes.update(aspecs)
+      old.children |= child_tags
+    else:
+      by_context[key] = spec
+    union.setdefault(tag, {}).update(aspecs)
+    children_of.setdefault(parent, set()).add(tag) if parent else None
+    children_of.setdefault(tag, set()).update(child_tags)
+    for c in children:
+      walk(c, tag)
+
+  walk(schema_full.TREE, None)
+  # supplement: curated entries absent from (or wider than) the era tree
+  for tag, attrs in SCHEMA.items():
+    u = union.setdefault(tag, {})
+    for name, kind in attrs.items():
+      if name not in u:
+        typ = {'f': 'float', 'i': 'int', 'b': 'keyword',
+               'k': 'string', 's': 'string'}[kind]
+        extra = ('false', 'true') if kind == 'b' else None
+        u[name] = AttrSpec(name, typ, False, extra)
+  return by_context, union, children_of, frozenset(namespaces), tree_tags
+
+
+_INDEX = None
+
+
+def _index():
+  global _INDEX
+  if _INDEX is None:
+    _INDEX = _build_index()
+  return _INDEX
+
+
+def element_spec(tag: str, parent: str = None):
+  """Context spec for (parent, tag); None if unknown in that context."""
+  return _index()[0].get((parent, tag))
+
+
+def attr_specs(tag: str) -> Dict[str, AttrSpec]:
+  """Merged attribute specs for a tag across all its contexts."""
+  return _index()[1].get(tag, {})
+
+
+def allowed_children(tag: str) -> Set[str]:
+  return _index()[2].get(tag, set())
+
+
+def findable_namespaces() -> frozenset:
+  return _index()[3] | {'attachment_frame'}
+
+
+def _check_value(tag, k, v, spec: AttrSpec, source_line):
+  v = str(v)
+  t = spec.type
+  if t in ('float',) or (t == 'array' and spec.extra[0] == 'float'):
+    try:
+      vals = [float(x) for x in v.split()]
+    except ValueError:
+      raise SchemaError(
+          f'<{tag} {k}="{v}">: expected float(s){source_line}')
+  elif t in ('int',) or (t == 'array' and spec.extra[0] == 'int'):
+    try:
+      vals = [int(x) for x in v.split()]
+    except ValueError:
+      raise SchemaError(
+          f'<{tag} {k}="{v}">: expected int(s){source_line}')
+  elif t == 'keyword':
+    if v.lower() not in {x.lower() for x in spec.extra}:
+      raise SchemaError(
+          f'<{tag} {k}="{v}">: expected one of {spec.extra}{source_line}')
+    return
+  else:
+    return
+  if t == 'array' and spec.extra[1] is not None and len(vals) > spec.extra[1]:
+    raise SchemaError(
+        f'<{tag} {k}="{v}">: at most {spec.extra[1]} values{source_line}')
+
+
 def validate_element(tag: str, attrs: Dict[str, str],
-                     source_line: str = '') -> None:
-  """Raise SchemaError for unknown tags / attributes / bad numbers."""
-  spec = SCHEMA.get(tag)
-  if spec is None:
+                     source_line: str = '', parent: str = None) -> None:
+  """Raise SchemaError for unknown tags/attributes/bad literals.
+
+  With `parent` given, the tag must be a valid child of that parent and
+  attributes are checked against the exact (parent, tag) context spec;
+  without it, checks run against the tag's merged cross-context surface."""
+  by_context, union, children_of, _, tree_tags = _index()
+  if tag not in union:
     raise SchemaError(f'unknown MJCF element <{tag}>{source_line}')
+  ctx = None
+  if parent is not None:
+    # post-era supplement elements (legacy table only) have no tree
+    # parentage info; accept them anywhere the curated table did
+    supplement = tag in SCHEMA and tag not in tree_tags
+    if tag not in children_of.get(parent, set()) and not supplement:
+      raise SchemaError(
+          f'<{tag}> is not a valid child of <{parent}>{source_line}; '
+          f'valid: {sorted(children_of.get(parent, set()))}')
+    ctx = by_context.get((parent, tag))
+  specs = dict(union[tag])
+  if ctx is not None:
+    # context attrs take priority but the merged surface stays valid
+    specs.update(ctx.attributes)
   for k, v in attrs.items():
-    kind = spec.get(k)
-    if kind is None:
+    spec = specs.get(k)
+    if spec is None:
       raise SchemaError(
           f'<{tag}> has no attribute {k!r}{source_line}; '
-          f'valid: {sorted(spec)}')
-    if kind == 'f':
-      try:
-        [float(x) for x in str(v).split()]
-      except ValueError:
-        raise SchemaError(
-            f'<{tag} {k}="{v}">: expected float(s){source_line}')
-    elif kind == 'i':
-      try:
-        [int(x) for x in str(v).split()]
-      except ValueError:
-        raise SchemaError(
-            f'<{tag} {k}="{v}">: expected int(s){source_line}')
-    elif kind == 'b':
-      if str(v) not in ('true', 'false'):
-        raise SchemaError(
-            f'<{tag} {k}="{v}">: expected true/false{source_line}')
+          f'valid: {sorted(specs)}')
+    _check_value(tag, k, v, spec, source_line)
 
 
 def caller_line() -> str:

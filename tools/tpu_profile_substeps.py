@@ -29,6 +29,8 @@ domain = sys.argv[1] if len(sys.argv) > 1 else 'humanoid'
 task_name = sys.argv[2] if len(sys.argv) > 2 else 'run'
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
 K = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+# optional comma-list of variant substrings to run (always incl. baseline)
+ONLY = sys.argv[5].split(',') if len(sys.argv) > 5 else None
 
 task = suite.build_task(domain, task_name)
 m = task.model
@@ -65,6 +67,9 @@ print(f'{domain}-{task_name} B={B} n_sub={n_sub} nv={m.nv} '
 
 
 def timed(label):
+  if (ONLY is not None and 'baseline' not in label
+      and not any(s in label for s in ONLY)):
+    return None
   run = jax.jit(lambda d, k: control_scan(d, k, K))
   r = run(db, jax.random.PRNGKey(1))
   jax.block_until_ready(r.qpos)
