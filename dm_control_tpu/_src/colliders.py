@@ -354,6 +354,103 @@ def _capsule_cylinder(cp_pos, cp_mat, cp_size, cy_pos, cy_mat, cy_size):
           jnp.concatenate([n, n], -2))
 
 
+_RIM_SAMPLES = 8
+
+
+def _cylinder_cylinder(pos1, mat1, size1, pos2, mat2, size2):
+  """Cylinder vs cylinder with true flat caps and sharp rims.
+
+  The reference resolves this pair through its generic convex-convex
+  solver (one MPR contact); here: three analytic candidate families,
+  emitting the 2 deepest —
+    1. side-side: sphere(r1)-at-closest-axis-point vs solid cylinder 2
+       (exact for interior side contacts, identical to the capsule
+       approximation there);
+    2. rims of cylinder 1 (8 samples per rim) vs solid cylinder 2 —
+       captures rim-on-cap and rim-in-bore contacts the capsule
+       approximation rounds off (the Duplo cylinder-stud case);
+    3. rims of cylinder 2 vs solid cylinder 1 (normals flipped).
+  """
+  dtype = pos1.dtype
+  r1 = size1[..., 0]
+  h1 = size1[..., 1:2]
+  ax1 = mat1[..., :, 2]
+  r2 = size2[..., 0]
+  h2 = size2[..., 1:2]
+  ax2 = mat2[..., :, 2]
+
+  # 1. side-side (capsule-style single contact).  Valid only when the
+  # contact is radial on cylinder 1 (the sphere-at-axis-point model
+  # rounds the rim, so cap-dominated configurations must fall through
+  # to the rim candidates — unconditional use measured a cap-cap stack
+  # at -0.09 instead of +0.01)
+  p1, q1 = pos1 - h1 * ax1, pos1 + h1 * ax1
+  p2, q2 = pos2 - h2 * ax2, pos2 + h2 * ax2
+  c1, _ = math.closest_segment_to_segment_points(p1, q1, p2, q2)
+  d_ss, pos_ss, n_ss = _sphere_cylinder(
+      c1, mat1, size1, pos2, mat2, size2)           # (..., 1), (..., 1, 3)
+  align = jnp.abs(jnp.einsum('...i,...i->...', n_ss[..., 0, :], ax1))
+  d_ss = jnp.where(align[..., None] < 0.3, d_ss, 1e10)
+
+  def rim_points(pos, mat, r, h):
+    """(..., 2*K, 3) world points on both rim circles."""
+    ang = np.linspace(0, 2 * np.pi, _RIM_SAMPLES, endpoint=False)
+    circ = np.stack([np.cos(ang), np.sin(ang), np.zeros_like(ang)], -1)
+    ends = np.array([-1.0, 1.0])
+    local = (r[..., None, None, None] * jnp.asarray(circ, dtype)
+             + h[..., None, None] * jnp.asarray(ends, dtype)[:, None, None]
+             * jnp.asarray([0.0, 0.0, 1.0], dtype))   # (..., 2, K, 3)
+    local = local.reshape(local.shape[:-3] + (2 * _RIM_SAMPLES, 3))
+    return (pos[..., None, :]
+            + jnp.einsum('...ij,...kj->...ki', mat, local))
+
+  def deepest_rim(points, c_pos, c_mat, c_size):
+    """Deepest of the sampled points vs a solid cylinder.
+
+    points (..., k, 3) -> (dist (..., 1), pos (..., 1, 3), n (..., 1, 3))
+    """
+    shape = points.shape[:-1]                        # (..., k)
+    cpos_b = jnp.broadcast_to(c_pos[..., None, :], points.shape)
+    cmat_b = jnp.broadcast_to(c_mat[..., None, :, :], shape + (3, 3))
+    csize_b = jnp.broadcast_to(c_size[..., None, :],
+                               shape + (c_size.shape[-1],))
+    ssize_b = jnp.zeros(shape + (c_size.shape[-1],), dtype)
+    d, p, n = _sphere_cylinder(points, cmat_b, ssize_b,
+                               cpos_b, cmat_b, csize_b)
+    d = d[..., 0]                                    # (..., k)
+    p = p[..., 0, :]                                 # (..., k, 3)
+    n = n[..., 0, :]
+    i = jnp.argmin(d, axis=-1)
+    d_min = jnp.take_along_axis(d, i[..., None], axis=-1)
+    p_min = jnp.take_along_axis(p, i[..., None, None], axis=-2)
+    n_min = jnp.take_along_axis(n, i[..., None, None], axis=-2)
+    return d_min, p_min, n_min
+
+  rims1 = rim_points(pos1, mat1, r1, h1)
+  d_r1, p_r1, n_r1 = deepest_rim(rims1, pos2, mat2, size2)
+  rims2 = rim_points(pos2, mat2, r2, h2)
+  d_r2, p_r2, n_r2 = deepest_rim(rims2, pos1, mat1, size1)
+  n_r2 = -n_r2                                       # geom1 -> geom2
+
+  # 4. cap-face candidates: each axis ENDPOINT vs the other solid
+  # cylinder.  Needed for coaxial stacks with equal radii, where every
+  # rim sample sits exactly on the other side surface (zero-depth side
+  # pushes) and nothing above resists along the axis.
+  ends1 = jnp.stack([p1, q1], axis=-2)               # (..., 2, 3)
+  d_e1, p_e1, n_e1 = deepest_rim(ends1, pos2, mat2, size2)
+  ends2 = jnp.stack([p2, q2], axis=-2)
+  d_e2, p_e2, n_e2 = deepest_rim(ends2, pos1, mat1, size1)
+  n_e2 = -n_e2
+
+  dists = jnp.concatenate([d_ss, d_r1, d_r2, d_e1, d_e2], -1)  # (..., 5)
+  poss = jnp.concatenate([pos_ss, p_r1, p_r2, p_e1, p_e2], -2)
+  ns = jnp.concatenate([n_ss, n_r1, n_r2, n_e1, n_e2], -2)
+  order = jnp.argsort(dists, axis=-1)[..., :2]
+  return (jnp.take_along_axis(dists, order, -1),
+          jnp.take_along_axis(poss, order[..., None], -2),
+          jnp.take_along_axis(ns, order[..., None], -2))
+
+
 def _capsule_box(c_pos, c_mat, c_size, b_pos, b_mat, b_size):
   """Two sphere-box tests at segment ends + closest interior point."""
   axis = c_mat[..., :, 2]
@@ -758,7 +855,7 @@ _COLLIDERS = {
     (GeomType.BOX, GeomType.BOX): _box_box,
     # cylinder-cylinder: capsule approximation of geom1's axis against the
     # exact cylinder geom2 (adequate for the suite's rare cyl-cyl pairs)
-    (GeomType.CYLINDER, GeomType.CYLINDER): _capsule_cylinder,
+    (GeomType.CYLINDER, GeomType.CYLINDER): _cylinder_cylinder,
 }
 
 

@@ -119,26 +119,22 @@ def kinematics(m: Model, d: Data) -> Data:
 
   xmat = math.quat_to_mat(xquat)
 
-  # inertial frames
+  # inertial frames (math.mul33/rot3: fused elementwise forms — the
+  # einsum spelling lowers to convolution + layout copies on TPU)
   body_ipos = jnp.asarray(m.body_ipos, dtype)
   body_iquat = jnp.asarray(m.body_iquat, dtype)
-  xipos = xpos + jnp.einsum('bij,bj->bi', xmat, body_ipos)
-  ximat = jnp.einsum('bij,bjk->bik', xmat,
-                     math.quat_to_mat(body_iquat))
+  xipos = xpos + math.rot3(xmat, body_ipos)
+  ximat = math.mul33(xmat, math.quat_to_mat(body_iquat))
 
   # geoms / sites (pos overridable per episode, e.g. moving targets)
   gb = m.geom_bodyid
-  geom_xpos = xpos[gb] + jnp.einsum(
-      'gij,gj->gi', xmat[gb], mparam(m, d, 'geom_pos'))
-  geom_xmat = jnp.einsum(
-      'gij,gjk->gik', xmat[gb],
-      math.quat_to_mat(jnp.asarray(m.geom_quat, dtype)))
+  geom_xpos = xpos[gb] + math.rot3(xmat[gb], mparam(m, d, 'geom_pos'))
+  geom_xmat = math.mul33(
+      xmat[gb], math.quat_to_mat(jnp.asarray(m.geom_quat, dtype)))
   sb = m.site_bodyid
-  site_xpos = xpos[sb] + jnp.einsum(
-      'sij,sj->si', xmat[sb], mparam(m, d, 'site_pos'))
-  site_xmat = jnp.einsum(
-      'sij,sjk->sik', xmat[sb],
-      math.quat_to_mat(jnp.asarray(m.site_quat, dtype)))
+  site_xpos = xpos[sb] + math.rot3(xmat[sb], mparam(m, d, 'site_pos'))
+  site_xmat = math.mul33(
+      xmat[sb], math.quat_to_mat(jnp.asarray(m.site_quat, dtype)))
 
   return d.replace(
       xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos, ximat=ximat,

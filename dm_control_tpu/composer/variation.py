@@ -141,6 +141,17 @@ class Bernoulli(_Distribution):
     return jax.random.bernoulli(key, prob, shape)
 
 
+class Poisson(_Distribution):
+  """Poisson counts (reference distributions.py:150-158)."""
+
+  def __init__(self, lam=1.0, **kw):
+    super().__init__(lam, **kw)
+
+  def _sample(self, key, lam):
+    shape = self._shape or (() if self._single else np.shape(lam))
+    return jax.random.poisson(key, lam, shape)
+
+
 class UniformChoice(_Distribution):
   def __init__(self, choices, **kw):
     super().__init__(**kw)
