@@ -63,9 +63,16 @@ def _host_fingerprint() -> str:
 _worker = os.environ.get(
     'DMC_TPU_CACHE_SUBDIR',
     os.environ.get('PYTEST_XDIST_WORKER', 'gw0'))
+# The cache root is ALSO keyed by the checkout path: two test sessions
+# from different checkouts (e.g. a snapshot battery + dev-tree test
+# runs) otherwise share per-worker dirs by worker ID and re-create the
+# torn-blob race this scheme exists to prevent.  Two concurrent
+# sessions from the SAME checkout still must not overlap.
+_tree = hashlib.sha256(
+    os.path.dirname(os.path.abspath(__file__)).encode()).hexdigest()[:8]
 jax.config.update(
     'jax_compilation_cache_dir',
-    f'/root/.cache/jax_tests_{_host_fingerprint()}/{_worker}')
+    f'/root/.cache/jax_tests_{_host_fingerprint()}_{_tree}/{_worker}')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
 
 SUITE_DIR = '/root/reference/dm_control/suite'

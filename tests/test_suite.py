@@ -17,6 +17,13 @@ def _uniform_policy(spec, rng):
   return lambda: rng.uniform(lo, hi)
 
 
+# heavyweight models keep short conformance horizons (compile + per-step
+# cost dominates); every other domain runs a FULL episode like the
+# reference's suite_test.py:39-63 uniform-random policy loop
+_HEAVY = {'dog', 'humanoid_CMU', 'humanoid', 'quadruped', 'jaco',
+          'manipulator'}
+
+
 @pytest.mark.parametrize('domain,task', TASKS)
 def test_task_runs_and_conforms_to_spec(domain, task):
   env = suite.load(domain, task, task_kwargs={'random': 7})
@@ -28,13 +35,24 @@ def test_task_runs_and_conforms_to_spec(domain, task):
   for k, v in ts.observation.items():
     assert k in obs_spec
     assert np.all(np.isfinite(v)), f'{domain}/{task} obs {k} not finite'
-  for _ in range(10):
+  # lqr: reference time limit is infinite (ends on convergence); a
+  # bounded random-policy horizon is all that is checkable
+  max_steps = 10 if domain in _HEAVY else (100 if domain == 'lqr' else 1000)
+  for _ in range(max_steps):
     ts = env.step(policy())
     assert ts.reward is None or np.isfinite(ts.reward)
     for k, v in ts.observation.items():
       assert tuple(obs_spec[k].shape) == np.shape(v), (
           f'{domain}/{task} obs {k} shape')
       assert np.all(np.isfinite(v))
+    if ts.last():
+      break
+  if domain not in _HEAVY and domain != 'lqr':
+    # full-episode invariant: the uniform-random episode must actually
+    # terminate through the time limit (reference runs whole episodes;
+    # lqr's reference time limit is infinite — it ends on convergence,
+    # which a uniform-random policy never reaches)
+    assert ts.last(), f'{domain}/{task}: episode did not terminate'
 
 
 @pytest.mark.parametrize('domain,task', [

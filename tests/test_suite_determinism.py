@@ -22,9 +22,10 @@ _ALL_TASKS = sorted(suite.ALL_TASKS)
 
 @pytest.mark.parametrize('domain,task', _ALL_TASKS)
 def test_environment_is_deterministic(domain, task):
-  """Same seed -> identical 100-step trajectories, rebuilt from scratch
-  (reference suite_test.py:176)."""
-  n_steps = 20 if domain in _SLOW else 100
+  """Same seed -> identical 200-step trajectories, rebuilt from scratch
+  (reference suite_test.py:176; horizon lengthened round 5 per VERDICT
+  r4 item 9)."""
+  n_steps = 50 if domain in _SLOW else 200
 
   def trajectory(seed):
     env = suite.load(domain, task, task_kwargs={'random': seed})
