@@ -98,8 +98,13 @@ def _bound_jax_compile_cache():
   workers per-file for the same reason)."""
   yield
   # 6 workers x 20 GB was brushing against the 125 GB box under the full
-  # battery; keep total jit-state well below the memory ceiling
-  if _rss_gb() > 8.0:
+  # battery; keep total jit-state well below the memory ceiling.
+  # Threshold lowered 8 -> 4 GB round 5: the residual battery failure
+  # mode is XLA:CPU SIGABRTing a long-lived worker that has accumulated
+  # many large f64 executables (observed ~once per full run, random row,
+  # always passes in a fresh process); clearing earlier keeps workers
+  # further from that state at the cost of some recompilation.
+  if _rss_gb() > 4.0:
     jax.clear_caches()
 
 
